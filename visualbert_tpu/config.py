@@ -1,0 +1,153 @@
+"""Typed configuration for the TPU-native VisualBERT framework.
+
+The reference scatters configuration across an argparse/commentjson ``AttrDict``
+read at import time (reference: ``visualbert/models/model_wrapper.py:234-244``,
+``unsupervised_visualbert/src/param.py:113-121``) and even inside model
+``forward`` bodies. For jit purity everything here is an explicit, hashable,
+frozen dataclass resolved *before* tracing.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any, Optional, Tuple
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class VisualBertConfig:
+    """Model hyper-parameters.
+
+    Mirrors the semantics of the reference ``BertConfig``
+    (``visualbert/pytorch_pretrained_bert/modeling.py:71-158``) plus the
+    visual-stream extensions threaded through ``TrainVisualBERTObjective``
+    (``modeling.py:1335-1371``).
+    """
+
+    vocab_size: int = 30522
+    hidden_size: int = 768
+    num_hidden_layers: int = 12
+    num_attention_heads: int = 12
+    intermediate_size: int = 3072
+    hidden_act: str = "gelu"
+    hidden_dropout_prob: float = 0.1
+    attention_probs_dropout_prob: float = 0.1
+    max_position_embeddings: int = 512
+    type_vocab_size: int = 2
+    initializer_range: float = 0.02
+    layer_norm_eps: float = 1e-12
+
+    # Visual stream (reference: modeling.py:1169-1257).
+    visual_embedding_dim: int = 2048
+
+    # `bypass_transformer`: text runs the full encoder alone, then one extra
+    # joint layer over [text ; visual] (reference: modeling.py:1299-1314).
+    bypass_transformer: bool = False
+
+    # Collect per-layer attention probabilities (ACL-2020 probing pipeline,
+    # reference: modeling.py:1316-1324). Forces the unrolled encoder.
+    output_attention_weights: bool = False
+
+    # --- TPU execution knobs (no analogue in the reference) ---
+    dtype: Any = jnp.bfloat16          # activation/compute dtype
+    param_dtype: Any = jnp.float32     # parameter dtype
+    remat: bool = False                # rematerialize encoder layers
+    use_flash_attention: bool = False  # Pallas fused attention kernel
+
+    @property
+    def head_dim(self) -> int:
+        assert self.hidden_size % self.num_attention_heads == 0
+        return self.hidden_size // self.num_attention_heads
+
+    def replace(self, **kw) -> "VisualBertConfig":
+        return dataclasses.replace(self, **kw)
+
+    @classmethod
+    def base(cls, **kw) -> "VisualBertConfig":
+        """bert-base-uncased geometry — what every reference config uses."""
+        return cls(**kw)
+
+    @classmethod
+    def tiny(cls, **kw) -> "VisualBertConfig":
+        """A small config for CPU tests."""
+        defaults = dict(
+            vocab_size=512,
+            hidden_size=64,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            intermediate_size=128,
+            max_position_embeddings=128,
+            dtype=jnp.float32,
+        )
+        defaults.update(kw)
+        return cls(**defaults)
+
+    def to_json(self) -> str:
+        d = dataclasses.asdict(self)
+        d["dtype"] = jnp.dtype(self.dtype).name
+        d["param_dtype"] = jnp.dtype(self.param_dtype).name
+        return json.dumps(d, indent=2, sort_keys=True)
+
+    @classmethod
+    def from_json(cls, text: str) -> "VisualBertConfig":
+        d = json.loads(text)
+        for k in ("dtype", "param_dtype"):
+            if k in d:
+                d[k] = jnp.dtype(d[k])
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in known})
+
+
+# Head types understood by the objective dispatcher
+# (reference: modeling.py:1352-1371, 1465-1598).
+HEAD_TYPES = (
+    "pretraining",
+    "multichoice",
+    "vqa",
+    "vqa_advanced",
+    "nlvr",
+    "flickr",
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimizerConfig:
+    """BertAdam-compatible optimizer settings.
+
+    Reference: ``visualbert/pytorch_pretrained_bert/optimization.py:185-302``
+    and the parameter-grouping rules in ``model_wrapper.py:100-139``.
+    """
+
+    learning_rate: float = 5e-5
+    schedule: str = "warmup_linear"  # none | warmup_constant | warmup_cosine | warmup_linear
+    warmup: float = 0.1              # fraction of t_total; -1 disables
+    t_total: int = -1                # total update steps; -1 → constant multiplier 1
+    b1: float = 0.9
+    b2: float = 0.999
+    eps: float = 1e-6
+    weight_decay: float = 0.01
+    max_grad_norm: float = 1.0       # per-parameter clip inside the step; -1 disables
+    # Parameters whose *name* contains any of these strings get no weight decay
+    # (reference: model_wrapper.py:106-110).
+    no_decay: Tuple[str, ...] = ("bias", "layer_norm", "LayerNorm")
+    # Parameters whose name contains any of these are excluded from training
+    # (reference excludes the pooler for pretraining, model_wrapper.py:104).
+    frozen: Tuple[str, ...] = ()
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Training-loop settings (reference: train.py:64-115 argparse surface)."""
+
+    train_batch_size: int = 32
+    eval_batch_size: int = 32
+    num_train_epochs: int = 10
+    gradient_accumulation_steps: int = 1
+    patience: int = 100000           # early stop patience (train.py:398-400)
+    seed: int = 42
+    save_every: Optional[int] = None  # mid-epoch checkpoint cadence
+    log_every: int = 100
+    # Mesh geometry: (data, model) axis sizes; model=1 → pure DP.
+    mesh_shape: Tuple[int, int] = (1, 1)

@@ -1,0 +1,410 @@
+"""TPU-native VisualBERT encoder in Flax.
+
+Semantics match the reference single-stream model
+(``visualbert/pytorch_pretrained_bert/modeling.py``):
+
+  * embeddings = word + position + token-type; visual tokens = projected
+    region features + visual position + visual token-type, concatenated after
+    the text tokens, then a single shared LayerNorm (modeling.py:1198-1257).
+  * 12 post-LN transformer layers (modeling.py:322-371).
+  * additive attention mask ``(1 - m) * -10000`` (modeling.py:1286-1294).
+  * pooler = tanh(dense(first token)) (modeling.py:374-386).
+
+TPU-first design choices (no analogue in the reference):
+  * parameters are fp32, activations bf16; LayerNorm and softmax run fp32.
+  * the layer stack is a single ``nn.scan`` (one traced layer → fast compile,
+    weights stacked on a leading ``layers`` axis) unless per-layer attention
+    probabilities are requested, in which case the loop is unrolled.
+  * every weight carries logical axis names so the same program TP-shards
+    over a (data, model) mesh via pjit — vs. the reference's DataParallel
+    replicate/scatter/gather (model_wrapper.py:146).
+  * optional Pallas fused attention (ops/flash_attention.py) and
+    rematerialization for memory.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from visualbert_tpu.config import VisualBertConfig
+
+Array = jax.Array
+
+NEG_INF = -10000.0  # reference mask value (modeling.py:1294) — not true -inf
+
+
+def mask_to_bias(mask: Array, dtype=jnp.float32) -> Array:
+    """[B, T] {0,1} mask → additive [B, 1, 1, T] bias with -10000 at pads."""
+    bias = (1.0 - mask.astype(jnp.float32)) * NEG_INF
+    return bias[:, None, None, :].astype(dtype)
+
+
+def truncated_normal_init(stddev: float):
+    return nn.initializers.truncated_normal(stddev=stddev, lower=-2.0, upper=2.0)
+
+
+class SelfAttention(nn.Module):
+    """Multi-head self-attention (reference: modeling.py:207-261).
+
+    QKV are DenseGeneral onto (heads, head_dim) so the head axis is a real
+    weight axis that the mesh rules can TP-shard.
+    """
+
+    config: VisualBertConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        hidden: Array,
+        attn_bias: Array,
+        deterministic: bool = True,
+        output_probs: bool = False,
+    ):
+        cfg = self.config
+        init = truncated_normal_init(cfg.initializer_range)
+
+        def qkv(name):
+            return nn.DenseGeneral(
+                features=(cfg.num_attention_heads, cfg.head_dim),
+                dtype=cfg.dtype,
+                param_dtype=cfg.param_dtype,
+                kernel_init=nn.with_partitioning(init, ("embed", "heads", "kv")),
+                bias_init=nn.with_partitioning(
+                    nn.initializers.zeros_init(), ("heads", "kv")
+                ),
+                name=name,
+            )
+
+        q = qkv("query")(hidden)  # [B, T, H, D]
+        k = qkv("key")(hidden)
+        v = qkv("value")(hidden)
+
+        if cfg.use_flash_attention and not output_probs:
+            from visualbert_tpu.ops.flash_attention import flash_attention
+
+            # attn_bias is [B,1,1,T] (key-side padding only) — pass the key
+            # mask to the kernel instead of materializing the bias.
+            ctx = flash_attention(q, k, v, bias=attn_bias)
+            probs = None
+        else:
+            scale = 1.0 / jnp.sqrt(jnp.asarray(cfg.head_dim, jnp.float32))
+            # scores in fp32 for a numerically faithful softmax
+            scores = jnp.einsum(
+                "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+            )
+            scores = scores * scale + attn_bias.astype(jnp.float32)
+            probs = jax.nn.softmax(scores, axis=-1)
+            probs_cast = probs.astype(cfg.dtype)
+            probs_cast = nn.Dropout(rate=cfg.attention_probs_dropout_prob)(
+                probs_cast, deterministic=deterministic
+            )
+            ctx = jnp.einsum("bhqk,bkhd->bqhd", probs_cast, v)
+
+        out = nn.DenseGeneral(
+            features=cfg.hidden_size,
+            axis=(-2, -1),
+            dtype=cfg.dtype,
+            param_dtype=cfg.param_dtype,
+            kernel_init=nn.with_partitioning(init, ("heads", "kv", "embed")),
+            bias_init=nn.with_partitioning(nn.initializers.zeros_init(), ("embed",)),
+            name="out",
+        )(ctx)
+        return (out, probs) if output_probs else (out, None)
+
+
+class TransformerLayer(nn.Module):
+    """Post-LN BERT layer: attn → add&norm → FFN(gelu) → add&norm
+    (reference: modeling.py:322-342)."""
+
+    config: VisualBertConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        hidden: Array,
+        attn_bias: Array,
+        deterministic: bool = True,
+        output_probs: bool = False,
+    ):
+        cfg = self.config
+        init = truncated_normal_init(cfg.initializer_range)
+        ln = functools.partial(
+            nn.LayerNorm,
+            epsilon=cfg.layer_norm_eps,
+            dtype=jnp.float32,
+            param_dtype=cfg.param_dtype,
+        )
+        dropout = nn.Dropout(rate=cfg.hidden_dropout_prob)
+
+        attn_out, probs = SelfAttention(cfg, name="attention")(
+            hidden, attn_bias, deterministic, output_probs
+        )
+        attn_out = dropout(attn_out, deterministic=deterministic)
+        hidden = ln(name="attention_norm")(attn_out + hidden).astype(cfg.dtype)
+
+        ffn = nn.Dense(
+            cfg.intermediate_size,
+            dtype=cfg.dtype,
+            param_dtype=cfg.param_dtype,
+            kernel_init=nn.with_partitioning(init, ("embed", "mlp")),
+            bias_init=nn.with_partitioning(nn.initializers.zeros_init(), ("mlp",)),
+            name="intermediate",
+        )(hidden)
+        # exact (erf) gelu — reference modeling.py:56-61
+        ffn = jax.nn.gelu(ffn, approximate=False)
+        ffn = nn.Dense(
+            cfg.hidden_size,
+            dtype=cfg.dtype,
+            param_dtype=cfg.param_dtype,
+            kernel_init=nn.with_partitioning(init, ("mlp", "embed")),
+            bias_init=nn.with_partitioning(nn.initializers.zeros_init(), ("embed",)),
+            name="output",
+        )(ffn)
+        ffn = dropout(ffn, deterministic=deterministic)
+        hidden = ln(name="output_norm")(ffn + hidden).astype(cfg.dtype)
+        return hidden, probs
+
+
+class TransformerEncoder(nn.Module):
+    """Layer stack (reference: modeling.py:344-371).
+
+    Scanned (stacked weights, single trace) by default; unrolled when
+    attention probabilities are requested.
+    """
+
+    config: VisualBertConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        hidden: Array,
+        attn_bias: Array,
+        deterministic: bool = True,
+        output_probs: bool = False,
+    ) -> Tuple[Array, Optional[Array]]:
+        cfg = self.config
+        collect = output_probs or cfg.output_attention_weights
+
+        layer_cls = TransformerLayer
+        if cfg.remat and not collect:
+            layer_cls = nn.remat(
+                TransformerLayer,
+                static_argnums=(2, 3),
+                prevent_cse=False,
+            )
+
+        def body(layer, carry, _):
+            h, bias = carry
+            h, probs = layer(h, bias, deterministic, collect)
+            return (h, bias), probs
+
+        stack = nn.scan(
+            body,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+            length=cfg.num_hidden_layers,
+            metadata_params={nn.PARTITION_NAME: "layers"},
+        )
+        (hidden, _), probs = stack(layer_cls(cfg, name="layers"), (hidden, attn_bias), None)
+        # probs: [L, B, H, T, T] fp32 when collected, else None
+        return hidden, probs
+
+
+class VisualBertEmbeddings(nn.Module):
+    """Joint text+visual embeddings (reference: modeling.py:1169-1257).
+
+    Text: word + learned position + token-type.
+    Visual: linear projection of region features + token-type(visual) +
+    position, where position is either a constant row (index 0 of the *visual*
+    position table) or, when ``image_text_alignment`` is given, the average of
+    the *text* position embeddings of the aligned words plus that constant row
+    (modeling.py:1223-1245). Output = LayerNorm(concat[text ; visual]).
+    """
+
+    config: VisualBertConfig
+
+    def setup(self):
+        cfg = self.config
+        init = truncated_normal_init(cfg.initializer_range)
+        embed = functools.partial(
+            nn.Embed,
+            features=cfg.hidden_size,
+            dtype=cfg.dtype,
+            param_dtype=cfg.param_dtype,
+        )
+        self.word_embeddings = embed(
+            num_embeddings=cfg.vocab_size,
+            embedding_init=nn.with_partitioning(init, ("vocab", "embed")),
+            name="word_embeddings",
+        )
+        self.position_embeddings = embed(
+            num_embeddings=cfg.max_position_embeddings,
+            embedding_init=nn.with_partitioning(init, ("pos", "embed")),
+            name="position_embeddings",
+        )
+        self.token_type_embeddings = embed(
+            num_embeddings=cfg.type_vocab_size,
+            embedding_init=nn.with_partitioning(init, ("types", "embed")),
+            name="token_type_embeddings",
+        )
+        # Visual-stream tables; initialized by copying the text tables when
+        # importing reference checkpoints (modeling.py:1191-1196
+        # ``special_intialize``).
+        self.token_type_embeddings_visual = embed(
+            num_embeddings=cfg.type_vocab_size,
+            embedding_init=nn.with_partitioning(init, ("types", "embed")),
+            name="token_type_embeddings_visual",
+        )
+        self.position_embeddings_visual = embed(
+            num_embeddings=cfg.max_position_embeddings,
+            embedding_init=nn.with_partitioning(init, ("pos", "embed")),
+            name="position_embeddings_visual",
+        )
+        self.projection = nn.Dense(
+            cfg.hidden_size,
+            dtype=cfg.dtype,
+            param_dtype=cfg.param_dtype,
+            kernel_init=nn.with_partitioning(
+                truncated_normal_init(cfg.initializer_range), ("visual_in", "embed")
+            ),
+            bias_init=nn.with_partitioning(nn.initializers.zeros_init(), ("embed",)),
+            name="projection",
+        )
+        self.norm = nn.LayerNorm(
+            epsilon=cfg.layer_norm_eps,
+            dtype=jnp.float32,
+            param_dtype=cfg.param_dtype,
+            name="norm",
+        )
+        self.dropout = nn.Dropout(rate=cfg.hidden_dropout_prob)
+
+    def __call__(
+        self,
+        input_ids: Array,                      # [B, Tt] int32
+        token_type_ids: Optional[Array] = None,  # [B, Tt] int32
+        visual_embeddings: Optional[Array] = None,      # [B, Tv, Dv]
+        visual_token_type_ids: Optional[Array] = None,  # [B, Tv] int32
+        image_text_alignment: Optional[Array] = None,   # [B, Tv, A] int32, -1 pad
+        deterministic: bool = True,
+    ) -> Array:
+        cfg = self.config
+        B, Tt = input_ids.shape
+        if token_type_ids is None:
+            token_type_ids = jnp.zeros_like(input_ids)
+
+        positions = jnp.arange(Tt, dtype=jnp.int32)[None, :]
+        text = (
+            self.word_embeddings(input_ids)
+            + self.position_embeddings(positions)
+            + self.token_type_embeddings(token_type_ids)
+        )
+
+        if visual_embeddings is not None:
+            Tv = visual_embeddings.shape[1]
+            vis = self.projection(visual_embeddings.astype(cfg.dtype))
+            if visual_token_type_ids is None:
+                visual_token_type_ids = jnp.zeros((B, Tv), jnp.int32)
+            vis = vis + self.token_type_embeddings_visual(visual_token_type_ids)
+
+            # constant visual position row (index 0) — modeling.py:1244-1247
+            vis_pos0 = self.position_embeddings_visual(jnp.zeros((B, Tv), jnp.int32))
+            if image_text_alignment is not None:
+                # average text-position embeddings over aligned word slots,
+                # -1 is padding (modeling.py:1223-1239)
+                align_mask = (image_text_alignment != -1).astype(jnp.float32)
+                safe_idx = jnp.maximum(image_text_alignment, 0)
+                pos = self.position_embeddings(safe_idx)  # [B, Tv, A, H]
+                pos = pos.astype(jnp.float32) * align_mask[..., None]
+                denom = jnp.maximum(align_mask.sum(axis=2), 1.0)  # avoid /0
+                aligned_pos = pos.sum(axis=2) / denom[..., None]
+                vis = vis + aligned_pos.astype(cfg.dtype) + vis_pos0
+            else:
+                vis = vis + vis_pos0
+
+            text = jnp.concatenate([text, vis], axis=1)
+
+        out = self.norm(text).astype(cfg.dtype)
+        return self.dropout(out, deterministic=deterministic)
+
+
+class Pooler(nn.Module):
+    """tanh(dense(first token)) — reference modeling.py:374-386."""
+
+    config: VisualBertConfig
+
+    @nn.compact
+    def __call__(self, hidden: Array) -> Array:
+        cfg = self.config
+        x = nn.Dense(
+            cfg.hidden_size,
+            dtype=cfg.dtype,
+            param_dtype=cfg.param_dtype,
+            kernel_init=nn.with_partitioning(
+                truncated_normal_init(cfg.initializer_range), ("embed", "embed_out")
+            ),
+            name="dense",
+        )(hidden[:, 0])
+        return jnp.tanh(x)
+
+
+class VisualBertModel(nn.Module):
+    """Embeddings + encoder + pooler (reference ``BertVisualModel``,
+    modeling.py:1260-1333), including the ``bypass_transformer`` split path
+    (text through the full stack alone, then one extra joint layer —
+    modeling.py:1299-1314)."""
+
+    config: VisualBertConfig
+
+    def setup(self):
+        cfg = self.config
+        self.embeddings = VisualBertEmbeddings(cfg, name="embeddings")
+        self.encoder = TransformerEncoder(cfg, name="encoder")
+        self.pooler = Pooler(cfg, name="pooler")
+        if cfg.bypass_transformer:
+            self.additional_layer = TransformerLayer(cfg, name="additional_layer")
+
+    def __call__(
+        self,
+        input_ids: Array,
+        token_type_ids: Optional[Array] = None,
+        attention_mask: Optional[Array] = None,   # [B, Tt(+Tv)] {0,1}
+        visual_embeddings: Optional[Array] = None,
+        visual_token_type_ids: Optional[Array] = None,
+        image_text_alignment: Optional[Array] = None,
+        deterministic: bool = True,
+        output_attention_probs: bool = False,
+    ):
+        cfg = self.config
+        B, Tt = input_ids.shape
+        Tv = 0 if visual_embeddings is None else visual_embeddings.shape[1]
+        if attention_mask is None:
+            attention_mask = jnp.ones((B, Tt + Tv), jnp.int32)
+
+        hidden = self.embeddings(
+            input_ids,
+            token_type_ids,
+            visual_embeddings,
+            visual_token_type_ids,
+            image_text_alignment,
+            deterministic=deterministic,
+        )
+        attn_bias = mask_to_bias(attention_mask, dtype=jnp.float32)
+
+        if cfg.bypass_transformer and visual_embeddings is not None:
+            text_hidden = hidden[:, :Tt]
+            vis_hidden = hidden[:, Tt:]
+            text_bias = attn_bias[..., :Tt]
+            text_out, _ = self.encoder(text_hidden, text_bias, deterministic)
+            joint = jnp.concatenate([text_out, vis_hidden], axis=1)
+            seq_out, _ = self.additional_layer(joint, attn_bias, deterministic)
+            return seq_out, self.pooler(seq_out), None
+
+        seq_out, probs = self.encoder(
+            hidden, attn_bias, deterministic, output_probs=output_attention_probs
+        )
+        return seq_out, self.pooler(seq_out), probs

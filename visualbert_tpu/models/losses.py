@@ -1,0 +1,71 @@
+"""Loss functions matching the reference's torch loss semantics exactly.
+
+All take fp32 logits and return fp32 scalars.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def cross_entropy_ignore_index(logits: Array, labels: Array, ignore_index: int = -1) -> Array:
+    """``torch.nn.CrossEntropyLoss(ignore_index=-1)``: mean NLL over the
+    positions whose label != ignore_index (reference modeling.py:1470-1485)."""
+    logits = logits.reshape(-1, logits.shape[-1]).astype(jnp.float32)
+    labels = labels.reshape(-1)
+    valid = labels != ignore_index
+    safe = jnp.maximum(labels, 0)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, safe[:, None], axis=-1)[:, 0]
+    nll = jnp.where(valid, nll, 0.0)
+    count = jnp.maximum(valid.sum(), 1)
+    return nll.sum() / count
+
+
+def cross_entropy(logits: Array, labels: Array) -> Array:
+    """``torch.nn.CrossEntropyLoss()`` — mean over batch."""
+    logits = logits.astype(jnp.float32)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    return nll.mean()
+
+
+def kl_div_batchmean(log_probs: Array, target: Array) -> Array:
+    """``torch.nn.KLDivLoss(reduction='batchmean')``: sum of
+    target*(log(target)-log_probs) over all elements / batch size, with the
+    0*log(0)=0 convention (reference modeling.py:1517-1521)."""
+    log_probs = log_probs.astype(jnp.float32)
+    target = target.astype(jnp.float32)
+    safe_log_t = jnp.where(target > 0, jnp.log(jnp.maximum(target, 1e-30)), 0.0)
+    elt = jnp.where(target > 0, target * (safe_log_t - log_probs), 0.0)
+    return elt.sum() / log_probs.shape[0]
+
+
+def binary_cross_entropy_with_logits(logits: Array, target: Array) -> Array:
+    """``torch.nn.BCEWithLogitsLoss()`` — mean over all elements
+    (unsupervised stack VQA loss, tasks/vqa.py:106)."""
+    logits = logits.astype(jnp.float32)
+    target = target.astype(jnp.float32)
+    # numerically stable: max(x,0) - x*t + log(1+exp(-|x|))
+    loss = jnp.maximum(logits, 0) - logits * target + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    return loss.mean()
+
+
+def smooth_l1(pred: Array, target: Array) -> Array:
+    """Elementwise ``torch.nn.SmoothL1Loss(reduction='none')`` (beta=1)."""
+    diff = jnp.abs(pred.astype(jnp.float32) - target.astype(jnp.float32))
+    return jnp.where(diff < 1.0, 0.5 * diff * diff, diff - 0.5)
+
+
+def vqa_accuracy_scores(logits: Array, soft_labels: Array) -> Array:
+    """Reference ``compute_score_with_logits`` (modeling.py:1697-1703):
+    softmax, zero out class 0 (<unk>), renormalize, argmax, read off the soft
+    label mass at the argmax. Returns per-example scores."""
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    probs = probs.at[:, 0].set(0.0)
+    probs = probs / jnp.maximum(probs.sum(axis=1, keepdims=True), 1e-12)
+    pred = jnp.argmax(probs, axis=-1)
+    return jnp.take_along_axis(soft_labels, pred[:, None], axis=1)[:, 0]
