@@ -1,0 +1,179 @@
+"""Masking / sequence-assembly transforms for pretraining and fine-tuning.
+
+Deterministic, seedable numpy implementations of the reference's host-side
+random transforms:
+
+  * ``random_word`` — 15% MLM masking with the 80/10/10 mask/random/keep split
+    and -1 labels elsewhere (``fine_tuning.py:272-308``).
+  * ``random_word_wwm`` — whole-word masking over basic tokens
+    (``unsupervised_visualbert/src/pretrain/text_data.py:415-451``).
+  * ``truncate_seq_pair`` — longest-first pair truncation
+    (``fine_tuning.py:624-637``).
+  * ``random_mask_features`` — 15% region-feature masking, 80% zero / 10%
+    in-batch random / 10% keep (``lxmert_data.py:558-583``).
+  * ``compute_answer_scores`` — VQA soft targets min(0.3·count, 1)
+    (``bert_data_utils.py:421-429``).
+  * sequence assembly ``[CLS] a [SEP] (b [SEP])`` with masks and segments
+    (``bert_data_utils.py:85-140``).
+
+Unlike the reference (module-level ``random`` shared across DataLoader
+workers), every function takes an explicit ``numpy.random.Generator`` so a
+(seed, epoch, index) key reproduces any example — the grain-style recipe.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from visualbert_tpu.data.tokenization import BertTokenizer
+
+MLM_IGNORE = -1
+
+
+def random_word(
+    tokens: List[str],
+    tokenizer: BertTokenizer,
+    rng: np.random.Generator,
+    mask_prob: float = 0.15,
+) -> Tuple[List[str], List[int]]:
+    """Per-token MLM corruption. Returns (corrupted tokens, labels)."""
+    out = list(tokens)
+    labels = [MLM_IGNORE] * len(tokens)
+    vocab_items = list(tokenizer.vocab.keys())
+    for i, tok in enumerate(tokens):
+        if rng.random() < mask_prob:
+            p = rng.random()
+            if p < 0.8:
+                out[i] = "[MASK]"
+            elif p < 0.9:
+                out[i] = vocab_items[int(rng.integers(len(vocab_items)))]
+            # else: keep
+            labels[i] = tokenizer.vocab.get(tok, tokenizer.vocab["[UNK]"])
+    return out, labels
+
+
+def random_word_wwm(
+    words: Sequence[str],
+    tokenizer: BertTokenizer,
+    rng: np.random.Generator,
+    mask_prob: float = 0.15,
+) -> Tuple[List[str], List[int]]:
+    """Whole-word masking: decide per *word*, apply to all its wordpieces."""
+    out_tokens: List[str] = []
+    labels: List[int] = []
+    vocab_items = list(tokenizer.vocab.keys())
+    for word in words:
+        pieces = tokenizer.wordpiece.tokenize(
+            word if word in tokenizer.vocab else word
+        )
+        if rng.random() < mask_prob:
+            p = rng.random()
+            for piece in pieces:
+                if p < 0.8:
+                    out_tokens.append("[MASK]")
+                elif p < 0.9:
+                    out_tokens.append(vocab_items[int(rng.integers(len(vocab_items)))])
+                else:
+                    out_tokens.append(piece)
+                labels.append(tokenizer.vocab.get(piece, tokenizer.vocab["[UNK]"]))
+        else:
+            out_tokens.extend(pieces)
+            labels.extend([MLM_IGNORE] * len(pieces))
+    return out_tokens, labels
+
+
+def truncate_seq_pair(tokens_a: List[str], tokens_b: List[str], max_length: int) -> None:
+    """In-place longest-first truncation (from the tail)."""
+    while len(tokens_a) + len(tokens_b) > max_length:
+        if len(tokens_a) > len(tokens_b):
+            tokens_a.pop()
+        else:
+            tokens_b.pop()
+
+
+def truncate_front(tokens: List[str], max_length: int) -> List[str]:
+    """Front truncation — the reference keeps the *end* of over-long single
+    sequences (``bert_data_utils.py:52-64`` cut_first='text')."""
+    if len(tokens) > max_length:
+        return tokens[len(tokens) - max_length:]
+    return tokens
+
+
+@dataclasses.dataclass
+class EncodedText:
+    input_ids: np.ndarray       # [T] int32, zero-padded
+    segment_ids: np.ndarray     # [T] int32
+    input_mask: np.ndarray      # [T] int32
+    lm_labels: Optional[np.ndarray] = None  # [T] int32, -1 where unused
+
+
+def assemble_pair(
+    tokens_a: List[str],
+    tokens_b: Optional[List[str]],
+    tokenizer: BertTokenizer,
+    max_seq_length: int,
+    lm_labels_a: Optional[List[int]] = None,
+    lm_labels_b: Optional[List[int]] = None,
+) -> EncodedText:
+    """``[CLS] a [SEP] (b [SEP])`` with zero-padding to max_seq_length."""
+    tokens = ["[CLS]"] + list(tokens_a) + ["[SEP]"]
+    segments = [0] * len(tokens)
+    labels = [MLM_IGNORE]
+    labels += list(lm_labels_a) if lm_labels_a is not None else [MLM_IGNORE] * len(tokens_a)
+    labels += [MLM_IGNORE]
+    if tokens_b:
+        tokens += list(tokens_b) + ["[SEP]"]
+        segments += [1] * (len(tokens_b) + 1)
+        labels += list(lm_labels_b) if lm_labels_b is not None else [MLM_IGNORE] * len(tokens_b)
+        labels += [MLM_IGNORE]
+
+    ids = tokenizer.convert_tokens_to_ids(tokens)
+    assert len(ids) <= max_seq_length, (len(ids), max_seq_length)
+
+    T = max_seq_length
+    input_ids = np.zeros(T, np.int32)
+    segment_ids = np.zeros(T, np.int32)
+    input_mask = np.zeros(T, np.int32)
+    lm = np.full(T, MLM_IGNORE, np.int32)
+    n = len(ids)
+    input_ids[:n] = ids
+    segment_ids[:n] = segments
+    input_mask[:n] = 1
+    lm[:n] = labels
+    return EncodedText(input_ids, segment_ids, input_mask, lm)
+
+
+def random_mask_features(
+    feats: np.ndarray,
+    rng: np.random.Generator,
+    mask_prob: float = 0.15,
+    pool: Optional[np.ndarray] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Region-feature masking for the unsupervised stack.
+
+    Returns (corrupted feats, mask) where mask[i]=1 marks a masked region
+    (loss is computed there). 80% zero, 10% replace with a random feature
+    from ``pool`` (defaults to the same image), 10% keep.
+    """
+    feats = feats.copy()
+    n = feats.shape[0]
+    mask = np.zeros(n, np.float32)
+    if pool is None:
+        pool = feats
+    for i in range(n):
+        if rng.random() < mask_prob:
+            mask[i] = 1.0
+            p = rng.random()
+            if p < 0.8:
+                feats[i] = 0.0
+            elif p < 0.9:
+                feats[i] = pool[int(rng.integers(pool.shape[0]))]
+    return feats, mask
+
+
+def compute_answer_scores(counts: np.ndarray) -> np.ndarray:
+    """VQA soft score: min(0.3 * #annotators, 1.0)."""
+    return np.minimum(0.3 * counts.astype(np.float32), 1.0)

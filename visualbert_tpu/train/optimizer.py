@@ -1,0 +1,166 @@
+"""BertAdam-compatible optimizer as a custom optax transform.
+
+The reference fine-tuning trajectories depend on three quirks of ``BertAdam``
+(``visualbert/pytorch_pretrained_bert/optimization.py:185-302``) that
+``optax.adamw`` does NOT reproduce:
+
+  1. **No bias correction** — update is ``m / (sqrt(v) + eps)`` from step 0.
+  2. **Per-parameter gradient clipping inside the step** — each parameter
+     tensor's gradient is clipped to ``max_grad_norm`` independently
+     (optimization.py:272-273), not a global norm.
+  3. **Schedule multiplier evaluated at the pre-increment step count** — the
+     very first update uses ``sched(0)`` (0 for warmup schedules).
+
+Weight decay is decoupled (added to the update after the moment estimates,
+optimization.py:288-289) and masked per-parameter: names containing "bias" /
+LayerNorm get none (``model_wrapper.py:106-110``).
+
+All math is fp32 regardless of compute dtype; state is fp32.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, NamedTuple, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from visualbert_tpu.config import OptimizerConfig
+
+
+# --- LR schedules (reference optimization.py:83-182) ---
+# Each returns the multiplier for a given step, as a traced fp32 scalar.
+
+def make_schedule(name: Optional[str], warmup: float, t_total: int) -> Callable:
+    warmup = max(float(warmup), 0.0)
+
+    if name in (None, "none") or t_total < 0:
+        return lambda step: jnp.float32(1.0)
+
+    t_total_f = float(t_total)
+
+    if name == "warmup_constant":
+        def fn(step):
+            progress = step.astype(jnp.float32) / t_total_f
+            return jnp.where(progress < warmup, progress / max(warmup, 1e-12), 1.0)
+        return fn
+
+    if name == "warmup_linear":
+        def fn(step):
+            progress = step.astype(jnp.float32) / t_total_f
+            warm = progress / max(warmup, 1e-12)
+            decay = jnp.maximum((progress - 1.0) / (warmup - 1.0), 0.0)
+            return jnp.where(progress < warmup, warm, decay)
+        return fn
+
+    if name == "warmup_cosine":
+        cycles = 0.5
+
+        def fn(step):
+            progress = step.astype(jnp.float32) / t_total_f
+            warm = progress / max(warmup, 1e-12)
+            after = (progress - warmup) / (1.0 - warmup)
+            cos = 0.5 * (1.0 + jnp.cos(math.pi * cycles * 2.0 * after))
+            return jnp.where(progress < warmup, warm, cos)
+        return fn
+
+    raise ValueError(f"unknown schedule {name}")
+
+
+class BertAdamState(NamedTuple):
+    step: jax.Array
+    m: Any
+    v: Any
+
+
+def _clip_by_own_norm(g: jax.Array, max_norm: float) -> jax.Array:
+    """torch.nn.utils.clip_grad_norm_ on a single tensor."""
+    norm = jnp.sqrt(jnp.sum(jnp.square(g.astype(jnp.float32))))
+    scale = jnp.minimum(1.0, max_norm / (norm + 1e-6))
+    return g * scale
+
+
+def bert_adam(
+    learning_rate: float,
+    schedule: Optional[str] = "warmup_linear",
+    warmup: float = -1,
+    t_total: int = -1,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-6,
+    weight_decay: float = 0.01,
+    max_grad_norm: float = 1.0,
+    decay_mask: Optional[Union[Any, Callable]] = None,
+) -> optax.GradientTransformation:
+    """decay_mask: pytree of bools matching params (True → apply weight
+    decay), or a callable params→pytree. None → decay everything."""
+
+    sched = make_schedule(schedule, warmup, t_total)
+
+    def init(params):
+        zeros = jax.tree.map(lambda p: jnp.zeros_like(p, dtype=jnp.float32), params)
+        return BertAdamState(step=jnp.zeros((), jnp.int32), m=zeros, v=jax.tree.map(jnp.copy, zeros))
+
+    def update(grads, state, params=None):
+        if params is None:
+            raise ValueError("bert_adam requires params")
+        grads = jax.tree.map(lambda g: g.astype(jnp.float32), grads)
+        if max_grad_norm > 0:
+            grads = jax.tree.map(lambda g: _clip_by_own_norm(g, max_grad_norm), grads)
+        m = jax.tree.map(lambda m_, g: b1 * m_ + (1 - b1) * g, state.m, grads)
+        v = jax.tree.map(lambda v_, g: b2 * v_ + (1 - b2) * g * g, state.v, grads)
+        upd = jax.tree.map(lambda m_, v_: m_ / (jnp.sqrt(v_) + eps), m, v)
+
+        if weight_decay > 0:
+            mask = decay_mask(params) if callable(decay_mask) else decay_mask
+            if mask is None:
+                mask = jax.tree.map(lambda _: True, params)
+            upd = jax.tree.map(
+                lambda u, p, use: u + weight_decay * p.astype(jnp.float32) if use else u,
+                upd,
+                params,
+                mask,
+            )
+
+        lr_t = learning_rate * sched(state.step)
+        updates = jax.tree.map(lambda u, p: (-lr_t * u).astype(p.dtype), upd, params)
+        return updates, BertAdamState(step=state.step + 1, m=m, v=v)
+
+    return optax.GradientTransformation(init, update)
+
+
+def default_decay_mask(params) -> Any:
+    """True (decay) except for biases and LayerNorm scales/biases — the
+    reference's no_decay list ['bias', 'gamma', 'beta']
+    (model_wrapper.py:106-110) translated to our param names."""
+
+    def walk(tree, path):
+        if isinstance(tree, dict):
+            return {k: walk(v, path + (k,)) for k, v in tree.items()}
+        joined = "/".join(str(p) for p in path).lower()
+        is_no_decay = (
+            joined.endswith("/bias")
+            or joined.endswith("/scale")
+            or "norm" in joined
+            or "decoder_bias" in joined
+        )
+        return not is_no_decay
+
+    return walk(params, ())
+
+
+def from_config(opt_cfg: OptimizerConfig, decay_mask=default_decay_mask) -> optax.GradientTransformation:
+    return bert_adam(
+        learning_rate=opt_cfg.learning_rate,
+        schedule=opt_cfg.schedule,
+        warmup=opt_cfg.warmup,
+        t_total=opt_cfg.t_total,
+        b1=opt_cfg.b1,
+        b2=opt_cfg.b2,
+        eps=opt_cfg.eps,
+        weight_decay=opt_cfg.weight_decay,
+        max_grad_norm=opt_cfg.max_grad_norm,
+        decay_mask=decay_mask,
+    )
