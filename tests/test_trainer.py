@@ -1,0 +1,122 @@
+"""End-to-end trainer tests on the 8-virtual-CPU-device mesh: loss decreases,
+grad accumulation matches big-batch math, TP×DP mesh runs the same program."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from visualbert_tpu.config import OptimizerConfig, TrainConfig, VisualBertConfig
+from visualbert_tpu.models.visualbert import VisualBertForTask
+from visualbert_tpu.parallel.mesh import create_mesh
+from visualbert_tpu.train.trainer import Trainer
+
+CFG = VisualBertConfig.tiny(visual_embedding_dim=16)
+B, TT, TV = 8, 12, 6
+N_ANSWERS = 8
+
+
+def synth_batch(rng, batch=B):
+    labels = np.zeros((batch, N_ANSWERS), np.float32)
+    hot = rng.randint(1, N_ANSWERS, size=batch)
+    labels[np.arange(batch), hot] = 1.0
+    mask = np.ones((batch, TT), np.int32)
+    # ensure at least 3 tokens so gather index sum(mask)-2 is valid
+    return {
+        "input_ids": rng.randint(0, CFG.vocab_size, size=(batch, TT)).astype(np.int32),
+        "token_type_ids": np.zeros((batch, TT), np.int32),
+        "input_mask": mask,
+        "visual_embeddings": rng.randn(batch, TV, 16).astype(np.float32),
+        "image_mask": np.ones((batch, TV), np.int32),
+        "label": labels,
+    }
+
+
+def make_trainer(mesh_shape, accum=1, lr=1e-3):
+    model = VisualBertForTask(CFG, head_type="vqa", num_answers=N_ANSWERS)
+    trainer = Trainer(
+        model=model,
+        opt_config=OptimizerConfig(learning_rate=lr, schedule=None, t_total=-1),
+        train_config=TrainConfig(gradient_accumulation_steps=accum),
+        mesh=create_mesh(mesh_shape),
+    )
+    return trainer
+
+
+def test_loss_decreases_dp_mesh(rng):
+    trainer = make_trainer((8, 1))
+    batch = synth_batch(rng)
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    step = trainer.train_step_fn()
+    key = jax.random.PRNGKey(1)
+    sharded = trainer.shard_batch(batch)
+    losses = []
+    for _ in range(20):
+        state, metrics = step(state, sharded, key)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0] * 0.7, losses
+
+
+def test_tp_dp_mesh_matches_dp(rng):
+    """Same data, same init seed → TP×DP mesh must produce the same losses
+    as the pure-DP mesh (the program is identical math)."""
+    batch = synth_batch(rng)
+    results = []
+    for shape in [(8, 1), (4, 2)]:
+        trainer = make_trainer(shape)
+        state = trainer.init_state(jax.random.PRNGKey(0), batch)
+        step = trainer.train_step_fn()
+        sharded = trainer.shard_batch(batch)
+        key = jax.random.PRNGKey(1)
+        ls = []
+        for _ in range(3):
+            state, metrics = step(state, sharded, key)
+            ls.append(float(metrics["loss"]))
+        results.append(ls)
+    np.testing.assert_allclose(results[0], results[1], rtol=2e-4)
+
+
+def test_grad_accumulation_equivalence(rng, monkeypatch):
+    """accum=2 over two microbatches == accum=1 over the concatenated batch
+    (dropout off — the two paths draw different dropout masks)."""
+    nodrop = CFG.replace(hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0)
+    monkeypatch.setattr("tests.test_trainer.CFG", nodrop, raising=False)
+    big = synth_batch(rng, batch=B)
+
+    def make_trainer(mesh_shape, accum=1, lr=1e-3):
+        from visualbert_tpu.models.visualbert import VisualBertForTask
+        from visualbert_tpu.train.trainer import Trainer
+
+        model = VisualBertForTask(nodrop, head_type="vqa", num_answers=N_ANSWERS)
+        return Trainer(
+            model=model,
+            opt_config=OptimizerConfig(learning_rate=lr, schedule=None, t_total=-1),
+            train_config=TrainConfig(gradient_accumulation_steps=accum),
+            mesh=create_mesh(mesh_shape),
+        )
+
+    t1 = make_trainer((8, 1), accum=1)
+    s1 = t1.init_state(jax.random.PRNGKey(0), big)
+    step1 = t1.train_step_fn()
+    s1, m1 = step1(s1, t1.shard_batch(big), jax.random.PRNGKey(9))
+
+    micro = {k: v.reshape((2, B // 2) + v.shape[1:]) for k, v in big.items()}
+    t2 = make_trainer((1, 1), accum=2)
+    example = {k: v[0] for k, v in micro.items()}
+    s2 = t2.init_state(jax.random.PRNGKey(0), example)
+    step2 = t2.train_step_fn()
+    s2, m2 = step2(s2, jax.tree.map(jnp.asarray, micro), jax.random.PRNGKey(9))
+
+    p1 = jax.tree.leaves(s1.params)
+    p2 = jax.tree.leaves(s2.params)
+    for a, b in zip(p1, p2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-3)
+
+
+def test_eval_step(rng):
+    trainer = make_trainer((8, 1))
+    batch = synth_batch(rng)
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    out = trainer.eval_step_fn()(state.params, trainer.shard_batch(batch))
+    assert out["logits"].shape == (B, N_ANSWERS)
+    assert np.isfinite(float(out["loss"]))

@@ -1,0 +1,243 @@
+"""pjit training engine.
+
+The reference trains with single-process ``DataParallel`` — replicate module,
+scatter batch, per-GPU losses ``.mean()``-ed on host, apex fp16, grad
+accumulation by delayed ``optimizer.step()``
+(``visualbert/models/model_wrapper.py:52-98``). Here the whole step — forward,
+backward, microbatch accumulation, BertAdam update — is ONE jit-compiled XLA
+program over a (data, model) mesh: batch sharded on ``data``, gradient
+all-reduce fused by XLA over ICI, TP-sharded weights on ``model`` when the
+mesh has one. bf16 activations need no loss scaling (params/moments fp32).
+
+Microbatch accumulation runs as a ``lax.scan`` inside the step so Python
+never sees intermediate grads.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import linen as nn
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from visualbert_tpu.config import OptimizerConfig, TrainConfig
+from visualbert_tpu.parallel.mesh import logical_to_mesh_spec
+from visualbert_tpu.train import optimizer as opt_lib
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    opt_state: Any
+
+
+def unbox(tree):
+    return jax.tree.map(
+        lambda x: x.value if isinstance(x, nn.Partitioned) else x,
+        tree,
+        is_leaf=lambda x: isinstance(x, nn.Partitioned),
+    )
+
+
+def param_specs_from_boxed(tree):
+    """PartitionSpec tree (mesh axes) from a boxed (Partitioned) param tree."""
+    return jax.tree.map(
+        lambda x: logical_to_mesh_spec(x.names) if isinstance(x, nn.Partitioned) else P(),
+        tree,
+        is_leaf=lambda x: isinstance(x, nn.Partitioned),
+    )
+
+
+def replicated_spec_tree(tree):
+    return jax.tree.map(lambda _: P(), tree)
+
+
+@dataclasses.dataclass
+class Trainer:
+    """Builds and owns the jitted train/eval steps for one task model.
+
+    ``model.apply`` must accept ``(variables, batch, deterministic, rngs=...)``
+    and return a dict with scalar ``loss`` plus metric scalars.
+    """
+
+    model: nn.Module
+    opt_config: OptimizerConfig
+    train_config: TrainConfig
+    mesh: Mesh
+    extra_loss_fn: Optional[Callable[[Dict], jax.Array]] = None
+
+    def __post_init__(self):
+        self.tx = opt_lib.from_config(self.opt_config)
+        self._train_step = None
+        self._eval_step = None
+        self._specs = None
+
+    # ---- init ----
+
+    def init_state(self, rng: jax.Array, example_batch: Dict[str, np.ndarray]) -> TrainState:
+        example = jax.tree.map(jnp.asarray, example_batch)
+
+        def init_fn(r):
+            variables = self.model.init({"params": r, "dropout": r}, example)
+            params = unbox(variables["params"])
+            return TrainState(
+                step=jnp.zeros((), jnp.int32),
+                params=params,
+                opt_state=self.tx.init(params),
+            )
+
+        boxed = jax.eval_shape(
+            lambda r: self.model.init({"params": r, "dropout": r}, example), rng
+        )["params"]
+        pspecs = param_specs_from_boxed(boxed)
+        # opt_state moments mirror the param tree → same specs
+        abstract_opt = jax.eval_shape(lambda: self.tx.init(unbox(boxed)))
+        opt_specs = _mirror_param_specs(abstract_opt, pspecs)
+        state_specs = TrainState(step=P(), params=pspecs, opt_state=opt_specs)
+        self._specs = state_specs
+
+        out_shardings = jax.tree.map(
+            lambda s: NamedSharding(self.mesh, s), state_specs,
+            is_leaf=lambda x: isinstance(x, P),
+        )
+        with self.mesh:
+            state = jax.jit(init_fn, out_shardings=out_shardings)(rng)
+        return state
+
+    # ---- steps ----
+
+    def _build_loss_fn(self):
+        def loss_fn(params, batch, dropout_rng):
+            out = self.model.apply(
+                {"params": params},
+                batch,
+                deterministic=False,
+                rngs={"dropout": dropout_rng},
+            )
+            loss = out["loss"]
+            if self.extra_loss_fn is not None:
+                loss = loss + self.extra_loss_fn(out)
+            metrics = {
+                k: v for k, v in out.items()
+                if isinstance(v, jax.Array) and v.ndim == 0
+            }
+            metrics["loss"] = loss
+            return loss.astype(jnp.float32), metrics
+
+        return loss_fn
+
+    def train_step_fn(self):
+        if self._train_step is not None:
+            return self._train_step
+
+        accum = self.train_config.gradient_accumulation_steps
+        loss_fn = self._build_loss_fn()
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+        def step(state: TrainState, batch, rng):
+            rng = jax.random.fold_in(rng, state.step)
+
+            if accum > 1:
+                # batch leaves are [accum, micro, ...]
+                def scan_body(carry, micro):
+                    grads_acc, metrics_acc, i = carry
+                    (_, metrics), grads = grad_fn(
+                        state.params, micro, jax.random.fold_in(rng, i)
+                    )
+                    grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
+                    metrics_acc = jax.tree.map(jnp.add, metrics_acc, metrics)
+                    return (grads_acc, metrics_acc, i + 1), None
+
+                zero_g = jax.tree.map(
+                    lambda p: jnp.zeros(p.shape, jnp.float32), state.params
+                )
+                micro0 = jax.tree.map(lambda x: x[0], batch)
+                (grads, metrics, _), _ = jax.lax.scan(
+                    scan_body,
+                    (zero_g, _zero_metrics(grad_fn, state.params, micro0, rng), jnp.int32(0)),
+                    batch,
+                )
+                grads = jax.tree.map(lambda g: g / accum, grads)
+                metrics = jax.tree.map(lambda m: m / accum, metrics)
+            else:
+                (_, metrics), grads = grad_fn(state.params, batch, rng)
+
+            updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            new_state = TrainState(
+                step=state.step + 1, params=new_params, opt_state=new_opt
+            )
+            return new_state, metrics
+
+        data_spec = P("data")
+        with self.mesh:
+            self._train_step = jax.jit(
+                step,
+                in_shardings=(
+                    jax.tree.map(
+                        lambda s: NamedSharding(self.mesh, s), self._specs,
+                        is_leaf=lambda x: isinstance(x, P),
+                    ),
+                    None,  # batch: let jit use arrays' shardings
+                    None,
+                ),
+                donate_argnums=(0,),
+            )
+        return self._train_step
+
+    def eval_step_fn(self):
+        if self._eval_step is not None:
+            return self._eval_step
+
+        def step(params, batch):
+            return self.model.apply({"params": params}, batch, deterministic=True)
+
+        with self.mesh:
+            self._eval_step = jax.jit(step)
+        return self._eval_step
+
+    # ---- data placement ----
+
+    def shard_batch(self, batch: Dict[str, np.ndarray]):
+        sharding = NamedSharding(self.mesh, P("data"))
+
+        def put(x):
+            x = np.asarray(x)
+            return jax.device_put(x, sharding)
+
+        return {k: put(v) for k, v in batch.items() if v is not None}
+
+
+def _mirror_param_specs(abstract_opt_state, pspecs):
+    """Give optimizer-state leaves that mirror a param's shape that param's
+    spec; everything else replicated."""
+    flat_params = {}
+    for path, spec in jax.tree_util.tree_flatten_with_path(pspecs)[0]:
+        flat_params[_shape_key(path)] = spec
+
+    def assign(path, leaf):
+        # match by trailing path segments (m/v trees share param paths)
+        key = _shape_key(path)
+        for pkey, spec in flat_params.items():
+            if key[-len(pkey):] == pkey:
+                return spec
+        return P()
+
+    leaves, treedef = jax.tree_util.tree_flatten_with_path(abstract_opt_state)
+    specs = [assign(path, leaf) for path, leaf in leaves]
+    return jax.tree_util.tree_unflatten(treedef, specs)
+
+
+def _shape_key(path):
+    return tuple(str(p) for p in path)
+
+
+def _zero_metrics(grad_fn, params, micro, rng):
+    metric_shape = jax.eval_shape(lambda p, b: grad_fn(p, b, rng)[0][1], params, micro)
+    return jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), metric_shape)
