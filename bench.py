@@ -1,0 +1,125 @@
+"""Benchmark: VisualBERT-base COCO-caption pretraining step throughput on one
+TPU chip (the BASELINE.json headline metric — image-text pairs/sec/chip).
+
+Shapes follow the reference COCO pretraining config: 128 text tokens + 100
+region features (detectron_fix_100), MLM + sentence-image alignment heads,
+full train step (fwd+bwd+BertAdam), dropout active, bf16 compute.
+
+Timing: K train steps are fused into one ``lax.scan`` program and synced by
+fetching the loss vector, so RPC/dispatch overhead of the remote TPU tunnel
+is excluded (block_until_ready is unreliable through the tunnel).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+``vs_baseline`` divides by an estimated reference throughput of the PyTorch
+DataParallel implementation on A100 (fp16, eager, BertAdam): ~230
+pairs/s/chip. BASELINE.json's ``published`` is empty — the reference repo
+ships no throughput numbers — so this constant is an engineering estimate,
+to be replaced with a measured number when an A100 run is possible.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_PAIRS_PER_SEC = 230.0  # estimated reference A100 throughput (see above)
+
+
+def synth_batch(batch, tt=128, tv=100, dv=2048, vocab=30522, seed=0, n_pred=24):
+    rng = np.random.RandomState(seed)
+    lm = np.full((batch, tt), -1, np.int32)
+    positions = np.zeros((batch, n_pred), np.int32)
+    for i in range(batch):
+        pos = rng.choice(np.arange(1, tt), size=n_pred, replace=False)
+        positions[i] = np.sort(pos)
+        lm[i, pos] = rng.randint(0, vocab, size=n_pred)
+    return {
+        "mlm_positions": positions,
+        "input_ids": rng.randint(0, vocab, size=(batch, tt)).astype(np.int32),
+        "token_type_ids": np.zeros((batch, tt), np.int32),
+        "input_mask": np.ones((batch, tt), np.int32),
+        "visual_embeddings": rng.randn(batch, tv, dv).astype(np.float32),
+        "image_mask": np.ones((batch, tv), np.int32),
+        "masked_lm_labels": lm,
+        "is_random_next": rng.randint(0, 2, size=(batch,)).astype(np.int32),
+    }
+
+
+def measure(batch_size, use_flash=True, remat=False, K=10, repeats=2):
+    import jax
+    import jax.numpy as jnp
+
+    from visualbert_tpu.config import OptimizerConfig, TrainConfig, VisualBertConfig
+    from visualbert_tpu.models.visualbert import VisualBertForTask
+    from visualbert_tpu.parallel.mesh import create_mesh
+    from visualbert_tpu.train.trainer import Trainer
+
+    cfg = VisualBertConfig.base(use_flash_attention=use_flash, remat=remat)
+    model = VisualBertForTask(cfg, head_type="pretraining")
+    n_chips = len(jax.devices())
+    trainer = Trainer(
+        model=model,
+        opt_config=OptimizerConfig(
+            learning_rate=1e-4, schedule="warmup_linear", warmup=0.1, t_total=10000
+        ),
+        train_config=TrainConfig(),
+        mesh=create_mesh((n_chips, 1)),
+    )
+    batch = synth_batch(batch_size)
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    step_inner = trainer.train_step_fn()
+
+    def multi(state, batch, key):
+        def body(st, i):
+            st, m = step_inner(st, batch, jax.random.fold_in(key, i))
+            return st, m["loss"]
+
+        return jax.lax.scan(body, state, jnp.arange(K))
+
+    multi = jax.jit(multi, donate_argnums=(0,))
+    sharded = trainer.shard_batch(batch)
+    key = jax.random.key(1, impl="rbg")  # hardware RNG for dropout masks
+
+    state, losses = multi(state, sharded, key)
+    np.asarray(losses)  # sync
+    best = 0.0
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        state, losses = multi(state, sharded, key)
+        lv = np.asarray(losses)
+        dt = time.perf_counter() - t0
+        assert np.all(np.isfinite(lv)), lv
+        best = max(best, batch_size * K / dt / n_chips)
+    return best
+
+
+def main():
+    best = 0.0
+    err = None
+    for bs, flash, remat in ((64, True, False), (96, True, False), (128, True, True)):
+        try:
+            v = measure(bs, use_flash=flash, remat=remat)
+            print(f"# batch={bs} flash={flash} remat={remat}: {v:.1f} pairs/s/chip",
+                  file=sys.stderr)
+            best = max(best, v)
+        except Exception as e:
+            err = e
+            print(f"# batch={bs} failed: {type(e).__name__}", file=sys.stderr)
+    if best == 0.0 and err is not None:
+        raise err
+    print(
+        json.dumps(
+            {
+                "metric": "visualbert_base_pretrain_throughput",
+                "value": round(best, 2),
+                "unit": "image-text pairs/sec/chip",
+                "vs_baseline": round(best / BASELINE_PAIRS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

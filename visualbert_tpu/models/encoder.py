@@ -87,9 +87,15 @@ class SelfAttention(nn.Module):
         if cfg.use_flash_attention and not output_probs:
             from visualbert_tpu.ops.flash_attention import flash_attention
 
-            # attn_bias is [B,1,1,T] (key-side padding only) — pass the key
-            # mask to the kernel instead of materializing the bias.
-            ctx = flash_attention(q, k, v, bias=attn_bias)
+            rate = 0.0 if deterministic else cfg.attention_probs_dropout_prob
+            seed = None
+            if rate > 0.0:
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (), 0, 2**31 - 1, dtype=jnp.int32
+                )
+            ctx = flash_attention(
+                q, k, v, bias=attn_bias, dropout_rate=rate, seed=seed
+            )
             probs = None
         else:
             scale = 1.0 / jnp.sqrt(jnp.asarray(cfg.head_dim, jnp.float32))
@@ -192,9 +198,11 @@ class TransformerEncoder(nn.Module):
 
         layer_cls = TransformerLayer
         if cfg.remat and not collect:
+            # flax remat counts the module itself as args[0] — the two bool
+            # flags are args[3] and args[4]
             layer_cls = nn.remat(
                 TransformerLayer,
-                static_argnums=(2, 3),
+                static_argnums=(3, 4),
                 prevent_cse=False,
             )
 

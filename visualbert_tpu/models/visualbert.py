@@ -114,18 +114,39 @@ class VisualBertForTask(nn.Module):
 
         if self.head_type in ("pretraining", "vqa_advanced"):
             word_emb = self.bert.embeddings.word_embeddings.embedding
-            mlm_logits, nsp_logits = self.cls(sequence_output, pooled_output, word_emb)
+            mlm_positions = batch.get("mlm_positions")
+            if mlm_positions is not None:
+                # TPU fast path: the CE ignores every position whose label is
+                # -1, so gather the ≤P masked positions FIRST and run the
+                # 30522-wide decoder matmul on [B, P, H] instead of
+                # [B, T, H] — identical loss, ~T/P less HBM and FLOPs.
+                # mlm_positions: [B, P] int32 (pad slots point anywhere);
+                # labels for the slots come from masked_lm_labels gathered
+                # alongside (-1 pads drop out of the loss).
+                mlm_positions = _flatten_choices(mlm_positions)
+                gathered = jnp.take_along_axis(
+                    sequence_output, mlm_positions[..., None], axis=1
+                )
+                mlm_logits, nsp_logits = self.cls(gathered, pooled_output, word_emb)
+                gathered_labels = (
+                    None
+                    if masked_lm_labels is None
+                    else jnp.take_along_axis(masked_lm_labels, mlm_positions, axis=1)
+                )
+            else:
+                mlm_logits, nsp_logits = self.cls(sequence_output, pooled_output, word_emb)
+                gathered_labels = masked_lm_labels
             out["logits"] = mlm_logits
             out["seq_relationship_score"] = nsp_logits
             total = 0.0
-            if masked_lm_labels is not None:
-                mlm_loss = losses.cross_entropy_ignore_index(mlm_logits, masked_lm_labels)
+            if gathered_labels is not None:
+                mlm_loss = losses.cross_entropy_ignore_index(mlm_logits, gathered_labels)
                 out["masked_lm_loss"] = mlm_loss
                 total = total + mlm_loss
                 # masked-token exact-match accuracy (cheap, on-device)
                 pred = jnp.argmax(mlm_logits, axis=-1)
-                valid = masked_lm_labels != -1
-                correct = jnp.where(valid, pred == masked_lm_labels, False)
+                valid = gathered_labels != -1
+                correct = jnp.where(valid, pred == gathered_labels, False)
                 out["mlm_accuracy"] = correct.sum() / jnp.maximum(valid.sum(), 1)
             if self.head_type == "pretraining" and batch.get("is_random_next") is not None:
                 nsp_loss = losses.cross_entropy_ignore_index(

@@ -1,0 +1,242 @@
+"""Fused multi-head attention Pallas kernel (the reference's hot loop —
+``BertSelfAttention``, modeling.py:231-261 — rebuilt for the MXU).
+
+VisualBERT sequences are short (text ≤128 + 36..300 regions ⇒ T ≤ ~512), so
+K/V for one (batch, head) fit comfortably in VMEM and no online-softmax
+tiling is needed. The win over the XLA einsum path is memory, not math:
+
+  * forward fuses  QKᵀ → bias add → fp32 softmax → dropout → PV  in VMEM;
+    the [T, T] probability matrix never touches HBM;
+  * the custom VJP *recomputes* probabilities (and regenerates the identical
+    dropout mask from the same per-(b,h) PRNG seed) in the backward kernel,
+    so nothing but q/k/v/dO is read back — the activation-memory profile of
+    flash attention without its complexity at these lengths.
+
+Kernel layout is [B, H, T, D] (the wrapper transposes from the projection's
+[B, T, H, D]; XLA fuses those transposes into neighbouring ops). Grid is
+(B, H); each program owns one head of one example. Numerics match
+the unfused path: fp32 scores, additive ``(1-mask)·-10000`` bias, fp32
+softmax, probabilities cast to bf16 before the PV matmul.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _keep_mask(shape, rate: float):
+    """Regenerate the dropout keep-mask from the already-seeded PRNG."""
+    bits = pltpu.prng_random_bits(shape)
+    bits = pltpu.bitcast(bits, jnp.uint32)
+    threshold = jnp.uint32(min(int(rate * 2**32), 2**32 - 1))
+    return bits >= threshold
+
+
+def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale, rate):
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    q = q_ref[0, 0]  # [T, D] bf16
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    bias = bias_ref[b]  # [T] fp32 (key-side additive mask); full array in VMEM
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [T, T]
+    s = s * scale + bias[None, :]
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+
+    if rate > 0.0:
+        pltpu.prng_seed(seed_ref[0] + b * pl.num_programs(1) + h)
+        keep = _keep_mask(p.shape, rate)
+        p = jnp.where(keep, p / (1.0 - rate), 0.0)
+
+    o = jax.lax.dot_general(
+        p.astype(q.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0, 0] = o.astype(o_ref.dtype)
+
+
+def _bwd_kernel(
+    seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
+    dq_ref, dk_ref, dv_ref, *, scale, rate,
+):
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    bias = bias_ref[b]
+    do = do_ref[0, 0].astype(jnp.float32)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    s = s * scale + bias[None, :]
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)  # pre-dropout probs, fp32
+
+    if rate > 0.0:
+        pltpu.prng_seed(seed_ref[0] + b * pl.num_programs(1) + h)
+        keep = _keep_mask(p.shape, rate)
+        p_d = jnp.where(keep, p / (1.0 - rate), 0.0)
+    else:
+        p_d = p
+
+    # dV = P_dᵀ dO
+    dv = jax.lax.dot_general(
+        p_d.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    # dP_d = dO Vᵀ ; undo dropout; softmax backward against pre-dropout P
+    dp_d = jax.lax.dot_general(
+        do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if rate > 0.0:
+        dp = jnp.where(keep, dp_d / (1.0 - rate), 0.0)
+    else:
+        dp = dp_d
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))  # [T, T] fp32
+    ds = ds * scale
+    dq = jax.lax.dot_general(
+        ds, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dk = jax.lax.dot_general(
+        ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
+    dk_ref[0, 0] = dk.astype(dk_ref.dtype)
+    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+
+
+def _specs(B, T, H, D):
+    # arrays are [B, H, T, D]; index maps receive the scalar-prefetch ref as
+    # a trailing arg. The [B, T] bias is small — keep it whole in VMEM.
+    qkv = pl.BlockSpec(
+        (1, 1, T, D), lambda b, h, *_: (b, h, 0, 0), memory_space=pltpu.VMEM
+    )
+    bias = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return qkv, bias
+
+
+def _interpret() -> bool:
+    return jax.devices()[0].platform == "cpu"
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _flash(q, k, v, key_bias, rate, seed):
+    return _flash_fwd_impl(q, k, v, key_bias, rate, seed)
+
+
+def _flash_fwd_impl(q, k, v, key_bias, rate, seed):
+    B, H, T, D = q.shape
+    qkv_spec, bias_spec = _specs(B, T, H, D)
+    scale = 1.0 / (D ** 0.5)
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale, rate=rate),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, H),
+            in_specs=[qkv_spec, qkv_spec, qkv_spec, bias_spec],
+            out_specs=qkv_spec,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, H, T, D), q.dtype),
+        interpret=_interpret(),
+    )(seed, q, k, v, key_bias)
+    return out
+
+
+def _flash_fwd(q, k, v, key_bias, rate, seed):
+    out = _flash_fwd_impl(q, k, v, key_bias, rate, seed)
+    return out, (q, k, v, key_bias, seed)
+
+
+def _flash_bwd(rate, residuals, do):
+    q, k, v, key_bias, seed = residuals
+    B, H, T, D = q.shape
+    qkv_spec, bias_spec = _specs(B, T, H, D)
+    scale = 1.0 / (D ** 0.5)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_kernel, scale=scale, rate=rate),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, H),
+            in_specs=[qkv_spec, qkv_spec, qkv_spec, bias_spec, qkv_spec],
+            out_specs=[qkv_spec, qkv_spec, qkv_spec],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, T, D), q.dtype),
+            jax.ShapeDtypeStruct((B, H, T, D), k.dtype),
+            jax.ShapeDtypeStruct((B, H, T, D), v.dtype),
+        ],
+        interpret=_interpret(),
+    )(seed, q, k, v, key_bias, do)
+    # bias derives from an integer mask (no grads wanted); seed is int32 →
+    # its cotangent type is float0
+    import numpy as np
+
+    dseed = np.zeros(seed.shape, dtype=jax.dtypes.float0)
+    return dq, dk, dv, jnp.zeros_like(key_bias), dseed
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    bias: jax.Array,
+    dropout_rate: float = 0.0,
+    seed: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Fused attention.
+
+    q/k/v: [B, T, H, D]; bias: [B, 1, 1, T] or [B, T] additive key mask
+    (0 at valid keys, -10000 at padding — the reference's mask form).
+    dropout_rate: attention-prob dropout (0 disables; static).
+    seed: int32 scalar; required when dropout_rate > 0.
+    """
+    B, T, H, D = q.shape
+    if bias.ndim == 4:
+        key_bias = bias[:, 0, 0, :].astype(jnp.float32)
+    else:
+        key_bias = bias.astype(jnp.float32)
+
+    # pad T to the lane quantum so [T, T] scores tile cleanly
+    Tp = _round_up(T, 128)
+    if Tp != T:
+        pad = Tp - T
+        q = jnp.pad(q, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        key_bias = jnp.pad(key_bias, ((0, 0), (0, pad)), constant_values=-10000.0)
+
+    if seed is None:
+        seed = jnp.zeros((), jnp.int32)
+    seed = jnp.asarray(seed, jnp.int32).reshape((1,))
+
+    # [B, T, H, D] → [B, H, T, D] for lane-aligned blocks
+    q, k, v = (jnp.transpose(x, (0, 2, 1, 3)) for x in (q, k, v))
+    out = _flash(q, k, v, key_bias, float(dropout_rate), seed)
+    out = jnp.transpose(out, (0, 2, 1, 3))
+    if Tp != T:
+        out = out[:, :T]
+    return out

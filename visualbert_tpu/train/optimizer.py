@@ -75,11 +75,25 @@ class BertAdamState(NamedTuple):
     v: Any
 
 
-def _clip_by_own_norm(g: jax.Array, max_norm: float) -> jax.Array:
-    """torch.nn.utils.clip_grad_norm_ on a single tensor."""
-    norm = jnp.sqrt(jnp.sum(jnp.square(g.astype(jnp.float32))))
+def _clip_by_own_norm(g: jax.Array, max_norm: float, stacked: bool = False) -> jax.Array:
+    """torch.nn.utils.clip_grad_norm_ on a single tensor.
+
+    ``stacked`` marks scan-stacked parameters ([L, ...] with one slice per
+    encoder layer): the reference optimizer sees L separate tensors and clips
+    each independently, so the norm is taken per leading index.
+    """
+    g32 = g.astype(jnp.float32)
+    if stacked:
+        axes = tuple(range(1, g.ndim))
+        norm = jnp.sqrt(jnp.sum(jnp.square(g32), axis=axes, keepdims=True))
+    else:
+        norm = jnp.sqrt(jnp.sum(jnp.square(g32)))
     scale = jnp.minimum(1.0, max_norm / (norm + 1e-6))
     return g * scale
+
+
+def _is_stacked_path(path) -> bool:
+    return any(getattr(k, "key", None) == "layers" for k in path)
 
 
 def bert_adam(
@@ -108,7 +122,12 @@ def bert_adam(
             raise ValueError("bert_adam requires params")
         grads = jax.tree.map(lambda g: g.astype(jnp.float32), grads)
         if max_grad_norm > 0:
-            grads = jax.tree.map(lambda g: _clip_by_own_norm(g, max_grad_norm), grads)
+            grads = jax.tree_util.tree_map_with_path(
+                lambda path, g: _clip_by_own_norm(
+                    g, max_grad_norm, stacked=_is_stacked_path(path)
+                ),
+                grads,
+            )
         m = jax.tree.map(lambda m_, g: b1 * m_ + (1 - b1) * g, state.m, grads)
         v = jax.tree.map(lambda v_, g: b2 * v_ + (1 - b2) * g * g, state.v, grads)
         upd = jax.tree.map(lambda m_, v_: m_ / (jnp.sqrt(v_) + eps), m, v)
