@@ -1,0 +1,146 @@
+"""Host-side input pipeline: seeded per-example transforms, fixed-shape
+batching, background prefetch.
+
+Replaces the reference's torch ``DataLoader`` + AllenNLP batch-max padding
+(``vcr.py:457-475``, ``coco_dataset.py:446-460``). Key differences, by
+design:
+
+  * **Static shapes**: every example is padded to the task's fixed
+    (text_len, n_regions) bucket on the host, so a single compiled program
+    serves the whole run — batch-max padding would retrigger XLA compilation
+    per shape.
+  * **Reproducible randomness**: transforms receive a Generator keyed by
+    (seed, epoch, index) — the reference uses process-global ``random`` in
+    forked workers, which is irreproducible across worker counts.
+  * **Prefetch**: one background thread keeps a bounded queue of ready
+    batches while the device runs (the reference relies on worker processes).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Dict, Iterator, List, Optional, Protocol, Sequence
+
+import numpy as np
+
+
+class IndexedDataset(Protocol):
+    def __len__(self) -> int: ...
+
+    def __getitem__(self, args) -> Dict[str, np.ndarray]:
+        """args = (index, rng) — rng is a np.random.Generator."""
+        ...
+
+
+def default_collate(samples: Sequence[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+    keys = samples[0].keys()
+    return {k: np.stack([s[k] for s in samples], axis=0) for k in keys}
+
+
+class Batcher:
+    """Iterate batches of a dataset with per-epoch shuffling."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        *,
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_last: bool = True,
+        collate: Callable = default_collate,
+        pad_final: bool = False,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.collate = collate
+        self.pad_final = pad_final
+
+    def epoch(self, epoch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            np.random.default_rng((self.seed, epoch)).shuffle(order)
+        for start in range(0, n, self.batch_size):
+            idx = order[start : start + self.batch_size]
+            if len(idx) < self.batch_size:
+                if self.drop_last:
+                    break
+                if self.pad_final:
+                    # repeat last indices so shapes stay static; callers use
+                    # 'example_weight' to mask duplicates out of metrics
+                    pad = np.resize(idx, self.batch_size)
+                    idx = pad
+            samples = []
+            for i in idx:
+                rng = np.random.default_rng((self.seed, epoch, int(i)))
+                samples.append(self.dataset[(int(i), rng)])
+            yield self.collate(samples)
+
+    def __iter__(self):
+        return self.epoch(0)
+
+    def num_batches(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+
+def prefetch(iterator: Iterator, size: int = 2) -> Iterator:
+    """Run `iterator` in a daemon thread, keep `size` items ready."""
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+    END = object()
+    err: List[BaseException] = []
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(item)
+        except BaseException as e:  # surfaced in consumer
+            err.append(e)
+        finally:
+            q.put(END)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is END:
+            if err:
+                raise err[0]
+            return
+        yield item
+
+
+def pad_to(arr: np.ndarray, length: int, axis: int = 0, value=0) -> np.ndarray:
+    """Pad (or truncate) `arr` to `length` along `axis`."""
+    cur = arr.shape[axis]
+    if cur == length:
+        return arr
+    if cur > length:
+        sl = [slice(None)] * arr.ndim
+        sl[axis] = slice(0, length)
+        return arr[tuple(sl)]
+    pad_width = [(0, 0)] * arr.ndim
+    pad_width[axis] = (0, length - cur)
+    return np.pad(arr, pad_width, constant_values=value)
+
+
+def pad_regions(
+    feats: np.ndarray, max_regions: int, extra: Optional[Dict[str, np.ndarray]] = None
+):
+    """Pad region features [n, D] → ([max, D], mask [max]); extra arrays are
+    padded along axis 0 with zeros."""
+    n = min(feats.shape[0], max_regions)
+    out = pad_to(feats.astype(np.float32), max_regions, axis=0)
+    mask = np.zeros(max_regions, np.int32)
+    mask[:n] = 1
+    extras = {}
+    if extra:
+        extras = {k: pad_to(v, max_regions, axis=0) for k, v in extra.items()}
+    return out, mask, extras

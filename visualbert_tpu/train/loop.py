@@ -1,0 +1,140 @@
+"""Epoch-based training loop with per-epoch eval, metric rollups, patience
+early-stop and best-checkpoint tracking — the reference's ``train.py:232-414``
+control flow, minus DataParallel bookkeeping.
+
+Datasets are any iterable of ready-to-device numpy batch dicts (see
+``data/pipeline.py``). Metrics are global sums/counts — NOT the reference's
+mean-of-per-replica-means (``train.py:305-307``), which subtly reweights
+uneven batches; documented difference.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, Dict, Iterable, Optional
+
+import jax
+import numpy as np
+
+from visualbert_tpu.config import TrainConfig
+from visualbert_tpu.train.trainer import Trainer
+from visualbert_tpu.utils.checkpoint import CheckpointManager
+from visualbert_tpu.utils.logging import get_logger
+
+log = get_logger(__name__)
+
+
+class MetricAccumulator:
+    """Weighted running means (weight = batch size)."""
+
+    def __init__(self):
+        self.sums: Dict[str, float] = {}
+        self.weights: Dict[str, float] = {}
+
+    def update(self, metrics: Dict[str, Any], weight: float):
+        for k, v in metrics.items():
+            try:
+                x = float(v)
+            except (TypeError, ValueError):
+                continue
+            self.sums[k] = self.sums.get(k, 0.0) + x * weight
+            self.weights[k] = self.weights.get(k, 0.0) + weight
+
+    def means(self) -> Dict[str, float]:
+        return {k: self.sums[k] / max(self.weights[k], 1e-12) for k in self.sums}
+
+
+@dataclasses.dataclass
+class FitResult:
+    best_metric: float
+    best_epoch: int
+    epochs_run: int
+    history: list
+
+
+def fit(
+    trainer: Trainer,
+    state,
+    train_data: Callable[[int], Iterable[Dict[str, np.ndarray]]],
+    eval_data: Optional[Callable[[], Iterable[Dict[str, np.ndarray]]]] = None,
+    *,
+    config: Optional[TrainConfig] = None,
+    checkpoint_dir: Optional[str] = None,
+    val_metric: str = "accuracy",
+    val_metric_higher_is_better: bool = True,
+    eval_hook: Optional[Callable[[Dict[str, np.ndarray], Dict], Dict[str, float]]] = None,
+    rng_seed: int = 0,
+):
+    """Run the full fit loop; returns (state, FitResult).
+
+    train_data(epoch) / eval_data() build fresh batch iterators.
+    eval_hook(batch, model_out) -> extra metric dict (e.g. task evaluators).
+    """
+    cfg = config or trainer.train_config
+    step_fn = trainer.train_step_fn()
+    eval_fn = trainer.eval_step_fn() if eval_data is not None else None
+    ckpt = CheckpointManager(checkpoint_dir) if checkpoint_dir else None
+    key = jax.random.key(rng_seed, impl="rbg")
+
+    best = -np.inf if val_metric_higher_is_better else np.inf
+    best_epoch = -1
+    history = []
+
+    for epoch in range(cfg.num_train_epochs):
+        acc = MetricAccumulator()
+        t0 = time.time()
+        n_batches = 0
+        for batch in train_data(epoch):
+            bs = len(next(iter(batch.values())))
+            state, metrics = step_fn(state, trainer.shard_batch(batch), key)
+            acc.update(metrics, bs)
+            n_batches += 1
+            if cfg.log_every and n_batches % cfg.log_every == 0:
+                m = acc.means()
+                log.info(
+                    "epoch %d step %d loss=%.4f (%.2f s/batch)",
+                    epoch, n_batches, m.get("loss", float("nan")),
+                    (time.time() - t0) / n_batches,
+                )
+            if ckpt and cfg.save_every and n_batches % cfg.save_every == 0:
+                ckpt.save(int(jax.device_get(state.step)), state)
+
+        epoch_metrics = {"train_" + k: v for k, v in acc.means().items()}
+
+        if eval_fn is not None:
+            eacc = MetricAccumulator()
+            for batch in eval_data():
+                bs = len(next(iter(batch.values())))
+                out = eval_fn(state.params, trainer.shard_batch(batch))
+                scalars = {
+                    k: v for k, v in out.items()
+                    if hasattr(v, "ndim") and v.ndim == 0
+                }
+                if eval_hook is not None:
+                    scalars.update(eval_hook(batch, jax.device_get(out)))
+                eacc.update(scalars, bs)
+            epoch_metrics.update({"val_" + k: v for k, v in eacc.means().items()})
+
+        history.append(epoch_metrics)
+        log.info("epoch %d: %s", epoch, {k: round(v, 4) for k, v in epoch_metrics.items()})
+
+        current = epoch_metrics.get("val_" + val_metric)
+        improved = current is not None and (
+            current > best if val_metric_higher_is_better else current < best
+        )
+        if improved:
+            best = current
+            best_epoch = epoch
+        if ckpt:
+            ckpt.save(int(jax.device_get(state.step)), state, is_best=improved)
+
+        # patience early-stop on the best validation epoch (train.py:398-400)
+        if current is not None and epoch - best_epoch >= cfg.patience:
+            log.info("early stop at epoch %d (best %.4f @ %d)", epoch, best, best_epoch)
+            break
+
+    return state, FitResult(
+        best_metric=float(best), best_epoch=best_epoch,
+        epochs_run=len(history), history=history,
+    )

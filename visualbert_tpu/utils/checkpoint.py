@@ -1,0 +1,80 @@
+"""Orbax checkpointing.
+
+Reference behavior being reproduced (``model_wrapper.py:163-221``,
+``pytorch_misc.py:110-152``): numbered per-epoch checkpoints plus mid-epoch
+step checkpoints, a ``best`` copy tracking the validation metric, resume from
+the latest, and prefix-tolerant partial restore for warm starts.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, max_to_keep: int = 5):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self._ckptr = ocp.StandardCheckpointer()
+        self.max_to_keep = max_to_keep
+
+    # -- paths --
+
+    def _path(self, step: int) -> str:
+        return os.path.join(self.directory, f"step_{step}")
+
+    def latest_step(self) -> Optional[int]:
+        steps = []
+        for name in os.listdir(self.directory):
+            m = re.fullmatch(r"step_(\d+)", name)
+            if m and os.path.isdir(os.path.join(self.directory, name)):
+                steps.append(int(m.group(1)))
+        return max(steps) if steps else None
+
+    # -- save/restore --
+
+    def save(self, step: int, state: Any, is_best: bool = False) -> str:
+        path = self._path(step)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        self._ckptr.save(path, state)
+        self._ckptr.wait_until_finished()
+        if is_best:
+            best = os.path.join(self.directory, "best")
+            if os.path.exists(best):
+                shutil.rmtree(best)
+            shutil.copytree(path, best)
+        self._gc()
+        return path
+
+    def restore(self, target: Any, step: Optional[int] = None, best: bool = False) -> Any:
+        if best:
+            path = os.path.join(self.directory, "best")
+        else:
+            if step is None:
+                step = self.latest_step()
+                if step is None:
+                    raise FileNotFoundError(f"no checkpoints in {self.directory}")
+            path = self._path(step)
+        abstract = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=getattr(x, "sharding", None))
+            if hasattr(x, "shape")
+            else x,
+            target,
+        )
+        return self._ckptr.restore(path, abstract)
+
+    def _gc(self):
+        steps = sorted(
+            int(m.group(1))
+            for name in os.listdir(self.directory)
+            if (m := re.fullmatch(r"step_(\d+)", name))
+        )
+        for s in steps[: -self.max_to_keep]:
+            shutil.rmtree(self._path(s), ignore_errors=True)
