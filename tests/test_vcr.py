@@ -1,0 +1,84 @@
+"""VCR path: detection-tag rendering, box↔token alignment, and the
+end-to-end detector+BERT multichoice model."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from visualbert_tpu.config import OptimizerConfig, TrainConfig, VisualBertConfig
+from visualbert_tpu.data.datasets import vcr as vcr_ds
+from visualbert_tpu.data.pipeline import Batcher
+from visualbert_tpu.data.tokenization import BertTokenizer
+from visualbert_tpu.models.vcr import VisualBertDetectorModel
+from visualbert_tpu.parallel.mesh import create_mesh
+from visualbert_tpu.train.trainer import Trainer
+
+VOCAB = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]", "person", "car", "and"] + [
+    f"w{i}" for i in range(40)
+]
+
+
+@pytest.fixture(scope="module")
+def tok():
+    return BertTokenizer({w: i for i, w in enumerate(VOCAB)})
+
+
+def test_render_tokens(tok):
+    objects = ["person", "car", "person"]
+    sub, align = vcr_ds.render_tokens(
+        ["w1", [0, 2], "w2", [1]], objects, tok
+    )
+    # [0,2] renders "name and name"; person names are outside the tiny vocab
+    # so they wordpiece to [UNK] — alignment must still track object indices
+    assert align[0] == []                    # w1
+    assert [0] in align and [2] in align and [1] in align
+    and_positions = [i for i, s in enumerate(sub) if s == "and"]
+    assert len(and_positions) == 1
+    # non-person object renders its class name
+    assert "car" in sub
+    assert align[sub.index("car")] == [1]
+
+
+def test_vcr_dataset_shapes(tok):
+    ann, images = vcr_ds.make_synthetic(4, tok)
+    ds = vcr_ds.VCRDataset(ann, images, tok, max_seq_length=24, max_boxes=5)
+    sample = ds[(0, np.random.default_rng(0))]
+    assert sample["input_ids"].shape == (4, 24)
+    assert sample["image_text_alignment"].shape == (4, 5, 3)
+    assert sample["boxes"].shape == (5, 4)
+    assert sample["images"].shape == (32, 32, 3)
+    # alignment points at real token positions
+    a = sample["image_text_alignment"]
+    assert (a >= -1).all() and (a < 24).all()
+    assert (a >= 0).any()
+
+
+def test_vcr_end_to_end_train(tok):
+    cfg = VisualBertConfig.tiny(
+        visual_embedding_dim=64,
+        hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0,
+    )
+    ann, images = vcr_ds.make_synthetic(32, tok)
+    ds = vcr_ds.VCRDataset(ann, images, tok, max_seq_length=20, max_boxes=4)
+    model = VisualBertDetectorModel(cfg, final_dim=64, num_choices=4)
+    trainer = Trainer(
+        model=model,
+        opt_config=OptimizerConfig(learning_rate=5e-4, schedule=None, t_total=-1),
+        train_config=TrainConfig(num_train_epochs=2, log_every=0),
+        mesh=create_mesh((8, 1)),
+    )
+    batcher = Batcher(ds, 8, seed=1)
+    example = next(iter(batcher.epoch(0)))
+    state = trainer.init_state(jax.random.PRNGKey(0), example)
+    step = trainer.train_step_fn()
+    key = jax.random.PRNGKey(1)
+    losses = []
+    for epoch in range(6):
+        for batch in batcher.epoch(epoch):
+            state, m = step(state, trainer.shard_batch(batch), key)
+            losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all(), losses
+    assert losses[-1] < losses[0], (losses[0], losses[-1])
+    assert float(m["cnn_regularization_loss"]) > 0

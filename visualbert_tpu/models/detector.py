@@ -1,0 +1,200 @@
+"""TPU-resident detector: Flax ResNet50 trunk + RoIAlign + per-box head.
+
+Rebuild of the reference ``SimpleDetector`` (``visualbert/utils/detector.py:
+48-144``) used by the VCR end-to-end path:
+
+  * ResNet50 through layer3 with the tf-faster-rcnn stride surgery — layers
+    2/3 carry the stride on conv1 instead of conv2, layer4 is stride 1
+    (detector.py:30-45) → output stride 16, 1024 channels.
+  * RoIAlign 7×7 at 1/16 scale (here ``ops/roi_align.py``; static shapes,
+    all padded boxes aligned — no nonzero() compaction).
+  * Optional segmentation-mask injection: conv(2-strided 3×3) of the 14×14
+    soft mask added to the first 32 RoI channels (detector.py:122-125).
+  * layer4 + global average pool per box → 2048-d (detector.py:126-127).
+  * 81-way auxiliary classifier → ``cnn_regularization_loss``
+    (detector.py:128-131), masked CE over valid boxes.
+  * class-embedding concat + dropout + linear + ReLU → ``final_dim``
+    (detector.py:92-96,133-136).
+
+TPU-first: NHWC layout, bf16 conv compute, BatchNorm in inference mode with
+frozen stats (the reference freezes detector BN during training —
+``model_wrapper.py:223-232``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from visualbert_tpu.config import VisualBertConfig
+from visualbert_tpu.models import losses
+from visualbert_tpu.ops.roi_align import roi_align
+
+Array = jax.Array
+
+
+class FrozenBatchNorm(nn.Module):
+    """BatchNorm with stored (non-updating) statistics — matches the frozen
+    detector BN; scale/bias/mean/var are importable from torchvision."""
+
+    features: int
+    dtype: Any = jnp.float32
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        scale = self.param("scale", nn.initializers.ones_init(), (self.features,))
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        mean = self.param("mean", nn.initializers.zeros_init(), (self.features,))
+        var = self.param("var", nn.initializers.ones_init(), (self.features,))
+        inv = jax.lax.rsqrt(var + self.eps) * scale
+        return (x.astype(jnp.float32) * inv + (bias - mean * inv)).astype(self.dtype)
+
+
+class Bottleneck(nn.Module):
+    """ResNet bottleneck with configurable stride placement (the surgery puts
+    stride on conv1 for layers 2+)."""
+
+    features: int          # bottleneck width (out = 4x)
+    stride: int = 1
+    stride_on_conv1: bool = False
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        conv = functools.partial(nn.Conv, use_bias=False, dtype=self.dtype)
+        s1 = (self.stride, self.stride) if self.stride_on_conv1 else (1, 1)
+        s2 = (1, 1) if self.stride_on_conv1 else (self.stride, self.stride)
+
+        residual = x
+        y = conv(self.features, (1, 1), strides=s1, name="conv1")(x)
+        y = FrozenBatchNorm(self.features, self.dtype, name="bn1")(y)
+        y = nn.relu(y)
+        y = conv(self.features, (3, 3), strides=s2, padding=[(1, 1), (1, 1)], name="conv2")(y)
+        y = FrozenBatchNorm(self.features, self.dtype, name="bn2")(y)
+        y = nn.relu(y)
+        y = conv(self.features * 4, (1, 1), name="conv3")(y)
+        y = FrozenBatchNorm(self.features * 4, self.dtype, name="bn3")(y)
+
+        if residual.shape[-1] != self.features * 4 or self.stride != 1:
+            residual = conv(
+                self.features * 4, (1, 1), strides=(self.stride, self.stride),
+                name="downsample_conv",
+            )(x)
+            residual = FrozenBatchNorm(self.features * 4, self.dtype, name="downsample_bn")(residual)
+        return nn.relu(y + residual)
+
+
+class ResNetStage(nn.Module):
+    features: int
+    blocks: int
+    stride: int
+    stride_on_conv1: bool
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        for i in range(self.blocks):
+            x = Bottleneck(
+                self.features,
+                stride=self.stride if i == 0 else 1,
+                stride_on_conv1=self.stride_on_conv1 and i == 0,
+                dtype=self.dtype,
+                name=f"block{i}",
+            )(x)
+        return x
+
+
+class ResNet50Trunk(nn.Module):
+    """conv1 .. layer3 (output stride 16, 1024ch)."""
+
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, images: Array) -> Array:  # [B, H, W, 3] → [B, H/16, W/16, 1024]
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+                    use_bias=False, dtype=self.dtype, name="conv1")(images.astype(self.dtype))
+        x = FrozenBatchNorm(64, self.dtype, name="bn1")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        x = ResNetStage(64, 3, 1, False, self.dtype, name="layer1")(x)
+        x = ResNetStage(128, 4, 2, True, self.dtype, name="layer2")(x)
+        x = ResNetStage(256, 6, 2, True, self.dtype, name="layer3")(x)
+        return x
+
+
+class ResNet50Layer4(nn.Module):
+    """layer4 with stride 1 (post-RoI head)."""
+
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:  # [N, 7, 7, 1024] → [N, 7, 7, 2048]
+        return ResNetStage(512, 3, 1, True, self.dtype, name="layer4")(x)
+
+
+class SimpleDetector(nn.Module):
+    """Full detector producing per-box object representations."""
+
+    final_dim: int = 512
+    semantic: bool = True
+    num_classes: int = 81
+    mask_dims: int = 32
+    dtype: Any = jnp.bfloat16
+    dropout_rate: float = 0.1
+
+    @nn.compact
+    def __call__(
+        self,
+        images: Array,                 # [B, H, W, 3]
+        boxes: Array,                  # [B, N, 4] (x1,y1,x2,y2) pixels
+        box_mask: Array,               # [B, N] {0,1}
+        classes: Optional[Array] = None,  # [B, N] int
+        segms: Optional[Array] = None,    # [B, N, 14, 14] soft masks
+        deterministic: bool = True,
+    ):
+        B, N = boxes.shape[:2]
+        fm = ResNet50Trunk(self.dtype, name="backbone")(images)
+        roi = roi_align(fm, boxes, out_size=7, sampling_ratio=2, spatial_scale=1 / 16)
+        roi = roi.reshape(B * N, 7, 7, fm.shape[-1])
+
+        if self.semantic and segms is not None:
+            m = segms.reshape(B * N, 14, 14, 1).astype(self.dtype) - 0.5
+            m = nn.Conv(self.mask_dims, (3, 3), strides=(2, 2),
+                        padding=[(1, 1), (1, 1)], dtype=self.dtype,
+                        name="mask_upsample")(m)
+            roi = roi.at[..., : self.mask_dims].add(m)
+
+        post = ResNet50Layer4(self.dtype, name="after_roi_align")(roi)
+        post = post.mean(axis=(1, 2))  # [B*N, 2048] global average pool
+
+        obj_logits = nn.Dense(self.num_classes, dtype=self.dtype,
+                              name="regularizing_predictor")(post).astype(jnp.float32)
+
+        out = {
+            "obj_reps_raw": post.reshape(B, N, -1),
+            "obj_logits": obj_logits.reshape(B, N, -1),
+        }
+        feats = post
+        if self.semantic and classes is not None:
+            emb = nn.Embed(self.num_classes, 128, dtype=self.dtype,
+                           name="object_embed")(classes.reshape(B * N))
+            feats = jnp.concatenate([post, emb], axis=-1)
+            # masked CE over valid boxes (detector.py:128-131)
+            labels = classes.reshape(-1)
+            ce = -jnp.take_along_axis(
+                jax.nn.log_softmax(obj_logits, axis=-1), labels[:, None], axis=-1
+            )[:, 0]
+            valid = box_mask.reshape(-1).astype(jnp.float32)
+            out["cnn_regularization_loss"] = (ce * valid).sum() / jnp.maximum(valid.sum(), 1.0)
+
+        feats = nn.Dropout(self.dropout_rate)(feats, deterministic=deterministic)
+        reps = nn.relu(
+            nn.Dense(self.final_dim, dtype=self.dtype, name="obj_downsample")(feats)
+        )
+        out["obj_reps"] = reps.reshape(B, N, self.final_dim)
+        return out
