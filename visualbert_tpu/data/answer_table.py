@@ -1,0 +1,72 @@
+"""VQA answer table + checkpoint answer-head surgery (reference:
+``unsupervised_visualbert/src/pretrain/qa_answer_table.py``).
+
+The pretraining answer head is trained over a ~9500-answer union table;
+fine-tuning tasks use their own (e.g. 3129-answer) vocabulary. Loading a
+pretrained head into a fine-tune model re-indexes the final layer's rows by
+ANSWER STRING (qa_answer_table.py:88-161): rows for answers present in both
+tables are copied, the rest keep their fresh initialization.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+# normalization applied before matching answers (qa_answer_table.py:19-37)
+_NORMALIZE = {
+    "aren't": "arent", "can't": "cant", "couldn't": "couldnt",
+    "don't": "dont", "doesn't": "doesnt", "isn't": "isnt",
+    "it's": "its", "won't": "wont", "wouldn't": "wouldnt",
+}
+
+
+def normalize_answer(ans: str) -> str:
+    ans = ans.strip().lower()
+    return _NORMALIZE.get(ans, ans)
+
+
+class AnswerTable:
+    def __init__(self, answers: Sequence[str]):
+        self.answers = [normalize_answer(a) for a in answers]
+        self.ans2id = {a: i for i, a in enumerate(self.answers)}
+
+    @classmethod
+    def from_json(cls, path: str) -> "AnswerTable":
+        with open(path) as f:
+            return cls(json.load(f))
+
+    def __len__(self):
+        return len(self.answers)
+
+    def ans_to_id(self, ans: str) -> Optional[int]:
+        return self.ans2id.get(normalize_answer(ans))
+
+    def id_to_ans(self, i: int) -> str:
+        return self.answers[i]
+
+    def used(self, ans: str) -> bool:
+        return normalize_answer(ans) in self.ans2id
+
+
+def remap_answer_head(
+    kernel: np.ndarray,       # [hidden, n_src] final-layer kernel (src table)
+    bias: np.ndarray,         # [n_src]
+    src_table: AnswerTable,
+    dst_table: AnswerTable,
+    dst_kernel: np.ndarray,   # [hidden, n_dst] freshly-initialized
+    dst_bias: np.ndarray,
+) -> Dict[str, np.ndarray]:
+    """Copy per-answer rows matched by string; count reported for logging."""
+    out_k = np.array(dst_kernel)
+    out_b = np.array(dst_bias)
+    n_copied = 0
+    for dst_i, ans in enumerate(dst_table.answers):
+        src_i = src_table.ans_to_id(ans)
+        if src_i is not None:
+            out_k[:, dst_i] = kernel[:, src_i]
+            out_b[dst_i] = bias[src_i]
+            n_copied += 1
+    return {"kernel": out_k, "bias": out_b, "n_copied": n_copied}
