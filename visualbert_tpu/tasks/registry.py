@@ -1,0 +1,348 @@
+"""Task drivers: build (model, datasets, evaluator) for each supported task
+and run the fit loop — the equivalents of the reference entry points
+``visualbert/models/train.py`` (dataset dispatch at train.py:148-191),
+``unsupervised_visualbert/src/pretrain/lxmert_pretrain.py`` and
+``src/tasks/vqa.py``.
+
+Every task supports ``data: {"synthetic": N}`` for hardware smoke runs and
+real-data dicts with file paths (documented per builder).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Callable, Dict, Tuple
+
+import jax
+import numpy as np
+
+from visualbert_tpu.config import VisualBertConfig
+from visualbert_tpu.data import pipeline
+from visualbert_tpu.data.pipeline import Batcher, prefetch
+from visualbert_tpu.data.tokenization import BertTokenizer
+from visualbert_tpu.models.visualbert import VisualBertForTask
+from visualbert_tpu.parallel.mesh import create_mesh
+from visualbert_tpu.train.loop import fit
+from visualbert_tpu.train.trainer import Trainer
+from visualbert_tpu.utils.config_io import TaskConfig
+from visualbert_tpu.utils.logging import add_run_folder, get_logger
+
+log = get_logger(__name__)
+
+TASKS: Dict[str, Callable] = {}
+
+
+def register(name):
+    def deco(fn):
+        TASKS[name] = fn
+        return fn
+
+    return deco
+
+
+def _tokenizer(cfg: TaskConfig) -> BertTokenizer:
+    vocab_file = cfg.data.get("vocab_file")
+    if vocab_file:
+        return BertTokenizer.from_file(vocab_file)
+    # synthetic fallback vocabulary
+    words = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]", "?"] + [
+        f"w{i}" for i in range(100)
+    ]
+    return BertTokenizer({w: i for i, w in enumerate(words)})
+
+
+def _trainer(cfg: TaskConfig, model) -> Trainer:
+    return Trainer(
+        model=model,
+        opt_config=cfg.optimizer,
+        train_config=cfg.train,
+        mesh=create_mesh(cfg.train.mesh_shape),
+    )
+
+
+def _run_fit(cfg: TaskConfig, trainer, train_ds, eval_ds, val_metric="accuracy"):
+    train_b = Batcher(train_ds, cfg.train.train_batch_size, seed=cfg.train.seed)
+    eval_b = (
+        Batcher(eval_ds, cfg.train.eval_batch_size, shuffle=False, seed=cfg.train.seed)
+        if eval_ds is not None
+        else None
+    )
+    example = next(iter(train_b.epoch(0)))
+    state = trainer.init_state(jax.random.PRNGKey(cfg.train.seed), example)
+
+    if cfg.restore_checkpoint:
+        state = _restore(cfg, trainer, state)
+
+    state, result = fit(
+        trainer,
+        state,
+        train_data=lambda e: prefetch(train_b.epoch(e)),
+        eval_data=(lambda: eval_b.epoch(0)) if eval_b else None,
+        checkpoint_dir=os.path.join(cfg.folder, "ckpt"),
+        val_metric=val_metric,
+        rng_seed=cfg.train.seed,
+    )
+    return state, result
+
+
+def _restore(cfg: TaskConfig, trainer, state):
+    path = cfg.restore_checkpoint
+    if path.endswith((".th", ".pth", ".bin")):
+        from visualbert_tpu.tools.import_torch import (
+            convert_state_dict, load_torch_file, maybe_special_initialize, merge_into,
+        )
+
+        flat = load_torch_file(path)
+        loaded = maybe_special_initialize(convert_state_dict(flat, cfg.model))
+        params = merge_into(state.params, loaded)
+        state = state.replace(params=params)
+        log.info("restored torch checkpoint %s", path)
+    else:
+        from visualbert_tpu.utils.checkpoint import CheckpointManager
+
+        state = CheckpointManager(path).restore(state)
+        log.info("restored orbax checkpoint %s", path)
+    return state
+
+
+# ---- task builders ----
+
+
+@register("vqa")
+def run_vqa(cfg: TaskConfig):
+    from visualbert_tpu.data.datasets import vqa as vqa_ds
+
+    tok = _tokenizer(cfg)
+    d = cfg.data
+    if "synthetic" in d:
+        ann, feats, vocab = vqa_ds.make_synthetic(
+            int(d["synthetic"]), tok,
+            n_answers=int(d.get("n_answers", 16)),
+            feat_dim=cfg.model.visual_embedding_dim,
+        )
+        split = int(len(ann) * 0.8)
+        train_ann, eval_ann = ann[:split], ann[split:]
+    else:
+        # real data: imdb-style json lists + a feature source
+        from visualbert_tpu.data.features import H5Features, NpyFolderFeatures
+
+        with open(d["train_annotations"]) as f:
+            train_ann = json.load(f)
+        with open(d["eval_annotations"]) as f:
+            eval_ann = json.load(f)
+        feats = (
+            H5Features(d["features_h5"])
+            if "features_h5" in d
+            else NpyFolderFeatures(d["features_dir"])
+        )
+        vocab = vqa_ds.AnswerVocab.from_file(d["answer_vocab"])
+
+    mk = lambda ann: vqa_ds.VQADataset(
+        ann, feats, tok, vocab,
+        max_seq_length=int(d.get("max_seq_length", 128)),
+        max_regions=int(d.get("max_regions", 100)),
+    )
+    model = VisualBertForTask(cfg.model, head_type="vqa", num_answers=len(vocab))
+    trainer = _trainer(cfg, model)
+    return _run_fit(cfg, trainer, mk(train_ann), mk(eval_ann))
+
+
+@register("coco_pretrain")
+def run_coco_pretrain(cfg: TaskConfig):
+    from visualbert_tpu.data.datasets import coco as coco_ds
+
+    tok = _tokenizer(cfg)
+    d = cfg.data
+    if "synthetic" in d:
+        ann, feats = coco_ds.make_synthetic(
+            int(d["synthetic"]), tok, feat_dim=cfg.model.visual_embedding_dim
+        )
+    else:
+        with open(d["annotations"]) as f:
+            ann = json.load(f)
+        from visualbert_tpu.data.features import H5Features, NpyFolderFeatures
+
+        feats = (
+            H5Features(d["features_h5"])
+            if "features_h5" in d
+            else NpyFolderFeatures(d["features_dir"])
+        )
+    ds = coco_ds.CocoCaptionsDataset(
+        ann, feats, tok,
+        max_seq_length=int(d.get("max_seq_length", 128)),
+        max_regions=int(d.get("max_regions", 100)),
+        two_sentence=bool(d.get("two_sentence", True)),
+    )
+    model = VisualBertForTask(cfg.model, head_type="pretraining")
+    trainer = _trainer(cfg, model)
+    return _run_fit(cfg, trainer, ds, None, val_metric="loss")
+
+
+@register("nlvr2")
+def run_nlvr2(cfg: TaskConfig):
+    from visualbert_tpu.data.datasets import nlvr2 as nlvr_ds
+
+    tok = _tokenizer(cfg)
+    d = cfg.data
+    if "synthetic" in d:
+        ann, feats = nlvr_ds.make_synthetic(
+            int(d["synthetic"]), tok, feat_dim=cfg.model.visual_embedding_dim
+        )
+        split = int(len(ann) * 0.8)
+        train_ann, eval_ann = ann[:split], ann[split:]
+    else:
+        def read_jsonl(p):
+            with open(p) as f:
+                return [json.loads(line) for line in f if line.strip()]
+
+        train_ann = read_jsonl(d["train_annotations"])
+        eval_ann = read_jsonl(d["eval_annotations"])
+        from visualbert_tpu.data.features import H5Features
+
+        feats = H5Features(d["features_h5"])
+    mk = lambda ann: nlvr_ds.NLVR2Dataset(
+        ann, feats, tok,
+        max_seq_length=int(d.get("max_seq_length", 128)),
+        max_regions_per_image=int(d.get("max_regions_per_image", 72)),
+    )
+    model = VisualBertForTask(cfg.model, head_type="nlvr")
+    trainer = _trainer(cfg, model)
+    return _run_fit(cfg, trainer, mk(train_ann), mk(eval_ann))
+
+
+@register("flickr")
+def run_flickr(cfg: TaskConfig):
+    from visualbert_tpu.data.datasets import flickr as flickr_ds
+
+    tok = _tokenizer(cfg)
+    d = cfg.data
+    if "synthetic" in d:
+        ann, feats = flickr_ds.make_synthetic(
+            int(d["synthetic"]), tok, feat_dim=cfg.model.visual_embedding_dim
+        )
+        split = int(len(ann) * 0.8)
+        train_ann, eval_ann = ann[:split], ann[split:]
+    else:
+        with open(d["train_annotations"]) as f:
+            train_ann = json.load(f)
+        with open(d["eval_annotations"]) as f:
+            eval_ann = json.load(f)
+        from visualbert_tpu.data.features import H5Features
+
+        feats = H5Features(d["features_h5"])
+    mk = lambda ann: flickr_ds.Flickr30kDataset(
+        ann, feats, tok,
+        max_seq_length=int(d.get("max_seq_length", 128)),
+        max_regions=int(d.get("max_regions", 100)),
+        max_entities=int(d.get("max_entities", 16)),
+    )
+    model = VisualBertForTask(cfg.model, head_type="flickr")
+    trainer = _trainer(cfg, model)
+    return _run_fit(cfg, trainer, mk(train_ann), mk(eval_ann))
+
+
+@register("vcr")
+def run_vcr(cfg: TaskConfig):
+    from visualbert_tpu.data.datasets import vcr as vcr_ds
+    from visualbert_tpu.models.vcr import VisualBertDetectorModel
+
+    tok = _tokenizer(cfg)
+    d = cfg.data
+    if "synthetic" in d:
+        ann, images = vcr_ds.make_synthetic(int(d["synthetic"]), tok)
+        split = int(len(ann) * 0.8)
+        train_ann, eval_ann = ann[:split], ann[split:]
+    else:
+        with open(d["train_annotations"]) as f:
+            train_ann = json.load(f)
+        with open(d["eval_annotations"]) as f:
+            eval_ann = json.load(f)
+        from visualbert_tpu.data.features import NpyFolderFeatures
+
+        images = NpyFolderFeatures(d["images_dir"])
+    mk = lambda ann: vcr_ds.VCRDataset(
+        ann, images, tok,
+        max_seq_length=int(d.get("max_seq_length", 128)),
+        max_boxes=int(d.get("max_boxes", 20)),
+    )
+    model = VisualBertDetectorModel(
+        cfg.model,
+        final_dim=int(d.get("final_dim", 512)),
+        cnn_loss_ratio=float(d.get("cnn_loss_ratio", 0.1)),
+    )
+    trainer = _trainer(cfg, model)
+    return _run_fit(cfg, trainer, mk(train_ann), mk(eval_ann))
+
+
+@register("unsup_pretrain")
+def run_unsup_pretrain(cfg: TaskConfig):
+    from visualbert_tpu.data.datasets import unsup_pretrain as up
+    from visualbert_tpu.data.hybrid import HybridBatcher
+    from visualbert_tpu.data.symbolic import SymbolicVocab
+    from visualbert_tpu.data.text_corpus import PackedCorpus, TextOnlyDataset
+    from visualbert_tpu.models.unsupervised import UnsupervisedConfig, UnsupervisedVisualBert
+
+    tok = _tokenizer(cfg)
+    d = cfg.data
+    if "objects_vocab" in d:
+        sym = SymbolicVocab.from_files(d["objects_vocab"], d["attributes_vocab"])
+    else:
+        sym = SymbolicVocab([f"obj{i}" for i in range(32)], [f"attr{i}" for i in range(8)])
+
+    ucfg = UnsupervisedConfig(
+        bert=cfg.model,
+        visual_feat_dim=cfg.model.visual_embedding_dim,
+        obj_id_num=sym.n_obj,
+        attr_id_num=sym.n_attr,
+        symbolic_vocab_size=sym.size,
+        task_qa=bool(d.get("task_qa", False)),
+    )
+    if "synthetic" in d:
+        ann, feats = up.make_synthetic(
+            int(d["synthetic"]), tok, sym, feat_dim=cfg.model.visual_embedding_dim
+        )
+    else:
+        from visualbert_tpu.data.features import H5Features
+
+        with open(d["annotations"]) as f:
+            ann = json.load(f)
+        feats = H5Features(d["features_h5"])
+
+    vl = up.UnsupervisedPretrainDataset(
+        ann, feats, tok, sym,
+        max_seq_length=int(d.get("max_seq_length", 30)),
+        n_regions=int(d.get("n_regions", 36)),
+        matched_prob=float(d.get("matched_prob", 0.5)),
+    )
+    sources = [Batcher(vl, cfg.train.train_batch_size, seed=cfg.train.seed)]
+    ratios = [1.0]
+    if "text_corpus" in d:
+        corpus = PackedCorpus.load(d["text_corpus"])
+        txt = TextOnlyDataset(corpus, tok, max_seq_length=int(d.get("text_seq_length", 64)))
+        sources.append(Batcher(txt, cfg.train.train_batch_size, seed=cfg.train.seed))
+        ratios.append(float(d.get("text_ratio", 1.0)))
+    hybrid = HybridBatcher(sources, ratios, seed=cfg.train.seed)
+
+    model = UnsupervisedVisualBert(ucfg)
+    trainer = _trainer(cfg, model)
+    example = next(iter(sources[0].epoch(0)))
+    state = trainer.init_state(jax.random.PRNGKey(cfg.train.seed), example)
+    state, result = fit(
+        trainer, state,
+        train_data=lambda e: prefetch(hybrid.epoch(e)),
+        eval_data=None,
+        checkpoint_dir=os.path.join(cfg.folder, "ckpt"),
+        val_metric="loss",
+        rng_seed=cfg.train.seed,
+    )
+    return state, result
+
+
+def run(cfg: TaskConfig):
+    os.makedirs(cfg.folder, exist_ok=True)
+    add_run_folder(cfg.folder)
+    if cfg.task not in TASKS:
+        raise KeyError(f"unknown task {cfg.task}; known: {sorted(TASKS)}")
+    log.info("running task %s → %s", cfg.task, cfg.folder)
+    return TASKS[cfg.task](cfg)

@@ -1,0 +1,44 @@
+"""Training CLI — the reference's ``python train.py -config C -folder F``
+(``visualbert/models/train.py:64-87``) equivalent:
+
+    python -m visualbert_tpu.train_cli --config configs/vqa_synth.json \\
+        [--folder runs/x] [--task vqa] [--restore ckpt]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="visualbert_tpu trainer")
+    p.add_argument("--config", required=True, help="comment-tolerant JSON config")
+    p.add_argument("--folder", default=None, help="output folder override")
+    p.add_argument("--task", default=None, help="task override")
+    p.add_argument("--restore", default=None, help="checkpoint to restore")
+    args = p.parse_args(argv)
+
+    from visualbert_tpu.tasks import registry
+    from visualbert_tpu.utils.config_io import load_task_config
+
+    cfg = load_task_config(
+        args.config,
+        overrides={
+            "folder": args.folder,
+            "task": args.task,
+            "restore_checkpoint": args.restore,
+        },
+    )
+    state, result = registry.run(cfg)
+    print(json.dumps({
+        "task": cfg.task,
+        "best_metric": result.best_metric,
+        "best_epoch": result.best_epoch,
+        "epochs_run": result.epochs_run,
+    }))
+    return state, result
+
+
+if __name__ == "__main__":
+    main()
