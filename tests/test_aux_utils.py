@@ -1,0 +1,150 @@
+"""Aux subsystems: TSV→H5 converter, polygon masks, NLVR2 metrics, probing,
+vqa_advanced mode, multi-step trainer."""
+
+import base64
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from visualbert_tpu.utils.boxes import clip_boxes, make_mask, resize_plan, scale_boxes
+from visualbert_tpu.utils.nlvr2_eval import accuracy, consistency, write_csv_report
+
+
+def test_tsv_to_h5_roundtrip(tmp_path, rng):
+    h5py = pytest.importorskip("h5py")
+    from visualbert_tpu.data.features import H5Features
+    from visualbert_tpu.tools.convert_tsv_to_h5 import convert
+
+    rows = []
+    for i in range(3):
+        nb = 4
+        feats = rng.randn(nb, 8).astype(np.float32)
+        boxes = rng.rand(nb, 4).astype(np.float32)
+        obj = np.arange(nb, dtype=np.int64)
+        conf = np.ones(nb, np.float32)
+        enc = lambda a: base64.b64encode(a.tobytes()).decode()
+        rows.append("\t".join([
+            f"img{i}", "480", "640", enc(obj), enc(conf), enc(obj), enc(conf),
+            str(nb), enc(boxes), enc(feats),
+        ]))
+    tsv = tmp_path / "f.tsv"
+    tsv.write_text("\n".join(rows) + "\n")
+    h5 = str(tmp_path / "f.h5")
+    n = convert(str(tsv), h5, feat_dim=8)
+    assert n == 3
+    store = H5Features(h5)
+    assert "img1" in store
+    row = store.get("img1")
+    assert row["features"].shape == (4, 8)
+    assert row["img_h"] == 480
+
+
+def test_make_mask_square():
+    # polygon covering left half of the box → left cells ~1, right ~0
+    poly = np.array([[0, 0], [50, 0], [50, 100], [0, 100]], np.float64)
+    m = make_mask([poly], box=(0, 0, 100, 100), mask_size=14)
+    assert m.shape == (14, 14)
+    assert m[:, :5].mean() > 0.9
+    assert m[:, 9:].mean() < 0.1
+
+
+def test_resize_and_clip():
+    scale, (nh, nw) = resize_plan(480, 640, target=320)
+    assert nw == 320 and nh == 240
+    b = scale_boxes(np.array([[10.0, 10.0, 700.0, 500.0]]), scale)
+    c = clip_boxes(b, nh, nw)
+    assert c[0, 2] <= nw - 1 and c[0, 3] <= nh - 1
+
+
+def test_nlvr2_metrics(tmp_path):
+    labels = {
+        "dev-1-0-0": 1, "dev-1-1-0": 1,   # group dev-1-0: two pairs
+        "dev-2-0-0": 0,
+    }
+    preds = {"dev-1-0-0": 1, "dev-1-1-0": 0, "dev-2-0-0": 0}
+    assert abs(accuracy(preds, labels) - 2 / 3) < 1e-9
+    # group dev-1-0 inconsistent, dev-2-0 consistent
+    assert abs(consistency(preds, labels) - 1 / 2) < 1e-9
+    p = tmp_path / "report.csv"
+    write_csv_report(str(p), [("dev-1-0-0", 1), ("dev-2-0-0", 0)])
+    assert p.read_text() == "dev-1-0-0,True\ndev-2-0-0,False\n"
+
+
+def test_probing_grounding():
+    from visualbert_tpu.tasks.probing import grounding_accuracy_by_layer
+
+    L, B, H, Tt, R = 2, 2, 3, 4, 5
+    T = Tt + R
+    probs = np.zeros((L, B, H, T, T), np.float32)
+    position = np.array([[1, 2], [0, -1]], np.int32)
+    label = np.zeros((B, 2, R), np.float32)
+    # entity (0,0) at token 1 → gold region 3; make layer 0 attend there
+    label[0, 0, 3] = 1.0
+    probs[0, 0, :, 1, Tt + 3] = 0.9
+    # entity (0,1) at token 2 → gold region 0; attends wrong region
+    label[0, 1, 0] = 1.0
+    probs[0, 0, :, 2, Tt + 4] = 0.9
+    # entity (1,0) at token 0 → gold region 2, correct
+    label[1, 0, 2] = 1.0
+    probs[0, 1, :, 0, Tt + 2] = 0.9
+    acc = grounding_accuracy_by_layer(probs, position, label, Tt)
+    assert abs(acc[0] - 2 / 3) < 1e-9
+    assert 0.0 <= acc[1] <= 1.0
+
+
+def test_vqa_advanced_mode(rng):
+    from visualbert_tpu.data.datasets import vqa as vqa_ds
+    from visualbert_tpu.data.tokenization import BertTokenizer
+
+    vocab = {w: i for i, w in enumerate(
+        "[PAD] [UNK] [CLS] [SEP] [MASK] ? what color red blue".split())}
+    tok = BertTokenizer(vocab)
+    ann = [{"question_tokens": ["what", "color"], "image_id": "0",
+            "answers": ["red"], "answer_str": "red", "question_id": 0}]
+    from visualbert_tpu.data.features import ChunkFeatures
+
+    feats = ChunkFeatures({"0": {"features": rng.randn(4, 8).astype(np.float32)}})
+    ds = vqa_ds.VQADataset(ann, feats, tok, vqa_ds.AnswerVocab(["red", "blue"]),
+                           max_seq_length=12, max_regions=4, advanced=True)
+    s = ds[(0, np.random.default_rng(0))]
+    ids = list(s["input_ids"])
+    mask_id = vocab["[MASK]"]
+    assert mask_id in ids
+    pos = ids.index(mask_id)
+    assert s["masked_lm_labels"][pos] == vocab["red"]
+    assert (s["masked_lm_labels"][:pos] == -1).all()
+    assert "label" not in s
+
+
+def test_multi_step_fn(rng):
+    from visualbert_tpu.config import OptimizerConfig, TrainConfig, VisualBertConfig
+    from visualbert_tpu.models.visualbert import VisualBertForTask
+    from visualbert_tpu.parallel.mesh import create_mesh
+    from visualbert_tpu.train.trainer import Trainer
+
+    cfg = VisualBertConfig.tiny(visual_embedding_dim=8, hidden_dropout_prob=0.0,
+                                attention_probs_dropout_prob=0.0)
+    model = VisualBertForTask(cfg, head_type="nlvr")
+    trainer = Trainer(
+        model=model,
+        opt_config=OptimizerConfig(learning_rate=1e-3, schedule=None, t_total=-1),
+        train_config=TrainConfig(),
+        mesh=create_mesh((8, 1)),
+    )
+    B, T, V = 8, 6, 4
+    batch = {
+        "input_ids": rng.randint(0, cfg.vocab_size, size=(B, T)).astype(np.int32),
+        "input_mask": np.ones((B, T), np.int32),
+        "visual_embeddings": rng.randn(B, V, 8).astype(np.float32),
+        "image_mask": np.ones((B, V), np.int32),
+        "label": rng.randint(0, 2, size=B).astype(np.int32),
+    }
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    K = 3
+    stacked = {k: np.stack([v] * K) for k, v in batch.items()}
+    multi = trainer.multi_step_fn(K)
+    state, metrics = multi(state, jax.tree.map(np.asarray, stacked), jax.random.PRNGKey(1))
+    assert metrics["loss"].shape == (K,)
+    assert int(jax.device_get(state.step)) == K

@@ -57,6 +57,8 @@ class VQADataset:
         max_seq_length: int = 128,
         max_regions: int = 100,
         with_labels: bool = True,
+        advanced: bool = False,
+        max_answer_tokens: int = 4,
     ):
         self.annotations = annotations
         self.features = features
@@ -65,6 +67,11 @@ class VQADataset:
         self.max_seq_length = max_seq_length
         self.max_regions = max_regions
         self.with_labels = with_labels
+        # ``vqa_advanced`` (reference vqa_dataset.py:158-184): the answer is
+        # appended as [MASK] slots and predicted as masked tokens (MLM head)
+        # instead of a 3129-way classifier.
+        self.advanced = advanced
+        self.max_answer_tokens = max_answer_tokens
 
     def __len__(self):
         return len(self.annotations)
@@ -74,9 +81,23 @@ class VQADataset:
         item = self.annotations[i]
 
         tokens = self.tokenizer.tokenize(" ".join(item["question_tokens"]))
-        tokens = tokens + ["?", "[MASK]"]
-        tokens = tokens[: self.max_seq_length - 2]
-        enc = assemble_pair(tokens, None, self.tokenizer, self.max_seq_length)
+        if self.advanced:
+            answer = item.get("answer_str") or (item.get("answers") or [""])[0]
+            ans_tokens = self.tokenizer.tokenize(answer)[: self.max_answer_tokens]
+            budget = self.max_seq_length - 2 - len(ans_tokens)
+            tokens = tokens[: budget - 1] + ["?"]
+            lm_labels = [-1] * len(tokens) + [
+                self.tokenizer.vocab.get(t, self.tokenizer.vocab["[UNK]"])
+                for t in ans_tokens
+            ]
+            tokens = tokens + ["[MASK]"] * len(ans_tokens)
+            enc = assemble_pair(
+                tokens, None, self.tokenizer, self.max_seq_length, lm_labels
+            )
+        else:
+            tokens = tokens + ["?", "[MASK]"]
+            tokens = tokens[: self.max_seq_length - 2]
+            enc = assemble_pair(tokens, None, self.tokenizer, self.max_seq_length)
 
         feat = self.features.get(str(item["image_id"]))["features"]
         visual, image_mask, _ = pad_regions(feat, self.max_regions)
@@ -89,7 +110,9 @@ class VQADataset:
             "image_mask": image_mask,
             "question_id": np.int64(item.get("question_id", i)),
         }
-        if self.with_labels and "answers" in item:
+        if self.advanced:
+            sample["masked_lm_labels"] = enc.lm_labels
+        if self.with_labels and "answers" in item and not self.advanced:
             counts = np.zeros(len(self.answer_vocab), np.float32)
             for ans in item["answers"]:
                 idx = self.answer_vocab.get(ans)

@@ -28,6 +28,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 LOGICAL_AXIS_RULES = (
     ("batch", "data"),
     ("embed", None),          # hidden size stays replicated (BERT-base is small)
+    ("stack", None),          # fused q/k/v stack axis
     ("heads", "model"),       # attention heads TP-sharded
     ("kv", None),             # per-head dim
     ("mlp", "model"),         # FFN hidden dim TP-sharded

@@ -1,0 +1,67 @@
+"""Attention-probing pipeline (ACL 2020 "What Does BERT with Vision Look
+At?") — reference: the ``output_attention_weights`` path
+(``modeling.py:1316-1324, 1430-1444``) feeding entity→region attention
+analysis on Flickr30k.
+
+``entity_region_attention`` reduces raw per-layer attention maps to
+entity→region matrices; ``grounding_accuracy_by_layer`` scores the argmax
+region of mean-over-heads attention against gold regions — the paper's
+headline probe.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def entity_region_attention(
+    attn_probs: np.ndarray,       # [L, B, H, T, T]
+    flickr_position: np.ndarray,  # [B, E] (-1 pad) — entity token positions
+    text_len: int,
+    n_regions: int,
+) -> np.ndarray:
+    """Returns [L, B, H, E, n_regions]: each entity position's attention mass
+    over the visual tokens, per layer and head."""
+    L, B, H, T, _ = attn_probs.shape
+    E = flickr_position.shape[1]
+    safe = np.maximum(flickr_position, 0)
+    rows = np.take_along_axis(
+        attn_probs,
+        safe[None, :, None, :, None].repeat(L, 0).repeat(H, 2).repeat(T, 4),
+        axis=3,
+    )  # [L, B, H, E, T]
+    return rows[..., text_len : text_len + n_regions]
+
+
+def grounding_accuracy_by_layer(
+    attn_probs: np.ndarray,
+    flickr_position: np.ndarray,
+    label: np.ndarray,            # [B, E, n_regions] soft gold distribution
+    text_len: int,
+) -> Dict[int, float]:
+    """Per-layer accuracy of argmax(mean-over-heads entity→region attention)
+    against regions with positive gold mass."""
+    n_regions = label.shape[-1]
+    era = entity_region_attention(attn_probs, flickr_position, text_len, n_regions)
+    mean_heads = era.mean(axis=2)  # [L, B, E, R]
+    valid = flickr_position >= 0   # [B, E]
+    out = {}
+    for l in range(era.shape[0]):
+        pred = mean_heads[l].argmax(axis=-1)  # [B, E]
+        hit = np.take_along_axis(label, pred[..., None], axis=2)[..., 0] > 0
+        hit = hit[valid]
+        out[l] = float(hit.mean()) if hit.size else 0.0
+    return out
+
+
+def extract_attention_maps(model, params, batch, mesh=None):
+    """Run the model once with attention export; returns (out dict with
+    'attention_weights' [L, B, H, T, T], text_len)."""
+    out = model.apply(
+        {"params": params}, batch, deterministic=True, output_attention_probs=True
+    )
+    return jax.device_get(out)

@@ -131,10 +131,14 @@ def convert_state_dict(
         for i in range(L):
             pref = layer_prefix(i)
             assert pref is not None, f"missing encoder layer {i}"
+            # q/k/v stacked into the fused projection: [H, 3, nh, hd]
+            ws, bs = [], []
             for name in ("query", "key", "value"):
                 w, b = linear(f"{pref}.attention.self.{name}")
-                stack(("attention", name, "kernel"), w.reshape(H, nh, hd))
-                stack(("attention", name, "bias"), b.reshape(nh, hd))
+                ws.append(w.reshape(H, nh, hd))
+                bs.append(b.reshape(nh, hd))
+            stack(("attention", "qkv", "kernel"), np.stack(ws, axis=1))
+            stack(("attention", "qkv", "bias"), np.stack(bs, axis=0))
             w, b = linear(f"{pref}.attention.output.dense")
             stack(("attention", "out", "kernel"), w.reshape(nh, hd, H))
             stack(("attention", "out", "bias"), b)
