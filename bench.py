@@ -47,7 +47,7 @@ def synth_batch(batch, tt=128, tv=100, dv=2048, vocab=30522, seed=0, n_pred=24):
     }
 
 
-def measure(batch_size, use_flash=True, remat=False, K=10, repeats=2):
+def measure(batch_size, use_flash=True, remat=False, scan_layers=True, K=10, repeats=2):
     import jax
     import jax.numpy as jnp
 
@@ -56,7 +56,9 @@ def measure(batch_size, use_flash=True, remat=False, K=10, repeats=2):
     from visualbert_tpu.parallel.mesh import create_mesh
     from visualbert_tpu.train.trainer import Trainer
 
-    cfg = VisualBertConfig.base(use_flash_attention=use_flash, remat=remat)
+    cfg = VisualBertConfig.base(
+        use_flash_attention=use_flash, remat=remat, scan_layers=scan_layers
+    )
     model = VisualBertForTask(cfg, head_type="pretraining")
     n_chips = len(jax.devices())
     trainer = Trainer(
@@ -98,15 +100,21 @@ def measure(batch_size, use_flash=True, remat=False, K=10, repeats=2):
 def main():
     best = 0.0
     err = None
-    for bs, flash, remat in ((64, True, False), (96, True, False), (128, True, True)):
+    # primary: unrolled layers (no scan residual-stacking copies) + fused
+    # attention kernel; fallback: scanned layers (fast compile)
+    for bs, flash, remat, scan in ((64, True, False, False), (64, True, False, True)):
         try:
-            v = measure(bs, use_flash=flash, remat=remat)
-            print(f"# batch={bs} flash={flash} remat={remat}: {v:.1f} pairs/s/chip",
-                  file=sys.stderr)
+            v = measure(bs, use_flash=flash, remat=remat, scan_layers=scan)
+            print(
+                f"# batch={bs} flash={flash} scan_layers={scan}: {v:.1f} pairs/s/chip",
+                file=sys.stderr,
+            )
             best = max(best, v)
         except Exception as e:
             err = e
-            print(f"# batch={bs} failed: {type(e).__name__}", file=sys.stderr)
+            print(f"# batch={bs} scan={scan} failed: {type(e).__name__}", file=sys.stderr)
+        if best > 0:
+            break
     if best == 0.0 and err is not None:
         raise err
     print(

@@ -50,3 +50,35 @@ def test_cli_synthetic_vqa(tmp_path, capsys):
     assert np.isfinite(summary["best_metric"])
     assert summary["best_metric"] > 0.25  # chance = 1/8
     assert (tmp_path / "run" / "ckpt").exists()
+    # leaderboard dump written after fit (reference vqa_dataset.py:290-302)
+    pred_file = tmp_path / "run" / "vqa_predictions.json"
+    assert pred_file.exists()
+    preds = json.loads(pred_file.read_text())
+    assert preds and {"question_id", "answer"} <= set(preds[0])
+
+
+def test_cli_eval_only_nlvr(tmp_path):
+    import dataclasses
+
+    from visualbert_tpu.tasks import registry
+    from visualbert_tpu.utils.config_io import parse_task_config
+
+    cfg = parse_task_config({
+        "task": "nlvr2",
+        "folder": str(tmp_path / "run"),
+        "eval_only": True,
+        "data": {"synthetic": 64, "max_seq_length": 12, "max_regions_per_image": 6},
+        "model": {
+            "vocab_size": 512, "hidden_size": 32, "num_hidden_layers": 1,
+            "num_attention_heads": 2, "intermediate_size": 64,
+            "max_position_embeddings": 32, "visual_embedding_dim": 32,
+            "dtype": "float32",
+        },
+        "train": {"train_batch_size": 8, "eval_batch_size": 8, "log_every": 0},
+    })
+    state, result = registry.run(cfg)
+    assert result.epochs_run == 0
+    report = tmp_path / "run" / "nlvr2_report.csv"
+    assert report.exists()
+    assert "official_accuracy" in result.history[0]
+    assert "consistency" in result.history[0]

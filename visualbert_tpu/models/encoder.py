@@ -196,6 +196,18 @@ class TransformerEncoder(nn.Module):
         cfg = self.config
         collect = output_probs or cfg.output_attention_weights
 
+        if not cfg.scan_layers:
+            # unrolled: per-layer param subtrees (layer_0..layer_{L-1});
+            # convert stacked checkpoints with tools/params.unstack_layers
+            all_probs = []
+            for i in range(cfg.num_hidden_layers):
+                hidden, probs = TransformerLayer(cfg, name=f"layer_{i}")(
+                    hidden, attn_bias, deterministic, collect
+                )
+                if collect:
+                    all_probs.append(probs)
+            return hidden, (jnp.stack(all_probs, axis=0) if collect else None)
+
         layer_cls = TransformerLayer
         if cfg.remat and not collect:
             # flax remat counts the module itself as args[0] — the two bool

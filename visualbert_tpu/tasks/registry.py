@@ -61,7 +61,8 @@ def _trainer(cfg: TaskConfig, model) -> Trainer:
     )
 
 
-def _run_fit(cfg: TaskConfig, trainer, train_ds, eval_ds, val_metric="accuracy"):
+def _run_fit(cfg: TaskConfig, trainer, train_ds, eval_ds, val_metric="accuracy",
+             dump_hook=None):
     train_b = Batcher(train_ds, cfg.train.train_batch_size, seed=cfg.train.seed)
     eval_b = (
         Batcher(eval_ds, cfg.train.eval_batch_size, shuffle=False, seed=cfg.train.seed)
@@ -74,6 +75,16 @@ def _run_fit(cfg: TaskConfig, trainer, train_ds, eval_ds, val_metric="accuracy")
     if cfg.restore_checkpoint:
         state = _restore(cfg, trainer, state)
 
+    if cfg.eval_only:
+        assert eval_b is not None, "eval_only needs an eval split"
+        metrics = evaluate(trainer, state, eval_b, dump_hook, cfg.folder)
+        from visualbert_tpu.train.loop import FitResult
+
+        return state, FitResult(
+            best_metric=metrics.get("accuracy", float("nan")),
+            best_epoch=-1, epochs_run=0, history=[metrics],
+        )
+
     state, result = fit(
         trainer,
         state,
@@ -83,7 +94,36 @@ def _run_fit(cfg: TaskConfig, trainer, train_ds, eval_ds, val_metric="accuracy")
         val_metric=val_metric,
         rng_seed=cfg.train.seed,
     )
+    if dump_hook is not None and eval_b is not None:
+        evaluate(trainer, state, eval_b, dump_hook, cfg.folder)
     return state, result
+
+
+def evaluate(trainer, state, eval_b, dump_hook, folder) -> Dict[str, float]:
+    """Run the eval split once; collect scalar metrics and hand every
+    (batch, outputs) pair to ``dump_hook`` for prediction files — the
+    reference's per-task result dumping (train.py:327-396)."""
+    from visualbert_tpu.train.loop import MetricAccumulator
+
+    eval_fn = trainer.eval_step_fn()
+    acc = MetricAccumulator()
+    collected = []
+    for batch in eval_b.epoch(0):
+        out = eval_fn(state.params, trainer.shard_batch(batch))
+        out = jax.device_get(out)
+        bs = len(next(iter(batch.values())))
+        acc.update(
+            {k: v for k, v in out.items() if hasattr(v, "ndim") and v.ndim == 0}, bs
+        )
+        if dump_hook is not None:
+            collected.append((batch, out))
+    metrics = acc.means()
+    if dump_hook is not None:
+        extra = dump_hook(collected, folder)
+        if extra:
+            metrics.update(extra)
+    log.info("eval: %s", {k: round(v, 4) for k, v in metrics.items()})
+    return metrics
 
 
 def _restore(cfg: TaskConfig, trainer, state):
@@ -145,7 +185,19 @@ def run_vqa(cfg: TaskConfig):
     )
     model = VisualBertForTask(cfg.model, head_type="vqa", num_answers=len(vocab))
     trainer = _trainer(cfg, model)
-    return _run_fit(cfg, trainer, mk(train_ann), mk(eval_ann))
+
+    def dump(collected, folder):
+        # leaderboard json (reference vqa_dataset.py:290-302)
+        evaluator = vqa_ds.VQAEvaluator(vocab)
+        qids, logits = [], []
+        for batch, out in collected:
+            qids.extend(int(q) for q in batch["question_id"])
+            logits.append(np.asarray(out["logits"], np.float32))
+        if logits:
+            evaluator.dump(qids, np.concatenate(logits), os.path.join(folder, "vqa_predictions.json"))
+        return {}
+
+    return _run_fit(cfg, trainer, mk(train_ann), mk(eval_ann), dump_hook=dump)
 
 
 @register("coco_pretrain")
@@ -208,7 +260,31 @@ def run_nlvr2(cfg: TaskConfig):
     )
     model = VisualBertForTask(cfg.model, head_type="nlvr")
     trainer = _trainer(cfg, model)
-    return _run_fit(cfg, trainer, mk(train_ann), mk(eval_ann))
+
+    # identifiers travel outside the model batch: recover by eval order
+    eval_ids = [a["identifier"] for a in eval_ann]
+    labels = {a["identifier"]: int(a["label"]) for a in eval_ann if "label" in a}
+
+    def dump(collected, folder):
+        from visualbert_tpu.utils.nlvr2_eval import accuracy, consistency, write_csv_report
+
+        preds = {}
+        i = 0
+        for batch, out in collected:
+            p = np.asarray(out["logits"]).argmax(-1)
+            for j in range(len(p)):
+                if i < len(eval_ids):
+                    preds[eval_ids[i]] = int(p[j])
+                i += 1
+        write_csv_report(os.path.join(folder, "nlvr2_report.csv"), sorted(preds.items()))
+        if labels:
+            return {
+                "official_accuracy": accuracy(preds, labels),
+                "consistency": consistency(preds, labels),
+            }
+        return {}
+
+    return _run_fit(cfg, trainer, mk(train_ann), mk(eval_ann), dump_hook=dump)
 
 
 @register("flickr")

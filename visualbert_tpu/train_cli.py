@@ -17,6 +17,7 @@ def main(argv=None):
     p.add_argument("--folder", default=None, help="output folder override")
     p.add_argument("--task", default=None, help="task override")
     p.add_argument("--restore", default=None, help="checkpoint to restore")
+    p.add_argument("--eval_only", action="store_true", help="skip training, eval + dump predictions")
     args = p.parse_args(argv)
 
     from visualbert_tpu.tasks import registry
@@ -28,6 +29,7 @@ def main(argv=None):
             "folder": args.folder,
             "task": args.task,
             "restore_checkpoint": args.restore,
+            "eval_only": True if args.eval_only else None,
         },
     )
     state, result = registry.run(cfg)
