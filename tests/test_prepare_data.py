@@ -1,0 +1,59 @@
+"""Data-prep converters against minimal official-format fixtures."""
+
+import json
+
+from visualbert_tpu.tools.prepare_data import (
+    prepare_coco_captions,
+    prepare_nlvr2,
+    prepare_vqa,
+)
+
+
+def test_prepare_coco(tmp_path):
+    src = tmp_path / "captions.json"
+    src.write_text(json.dumps({
+        "annotations": [
+            {"image_id": 7, "caption": "a dog"},
+            {"image_id": 7, "caption": "a brown dog"},
+            {"image_id": 9, "caption": "a cat"},
+        ]
+    }))
+    out = tmp_path / "coco.json"
+    n = prepare_coco_captions(str(src), str(out))
+    assert n == 2
+    data = json.loads(out.read_text())
+    assert data[0] == {"image_id": "7", "captions": ["a dog", "a brown dog"]}
+
+
+def test_prepare_vqa(tmp_path):
+    q = tmp_path / "questions.json"
+    q.write_text(json.dumps({"questions": [
+        {"question": "What color is the dog?", "image_id": 7, "question_id": 70}
+    ]}))
+    a = tmp_path / "annotations.json"
+    a.write_text(json.dumps({"annotations": [
+        {"question_id": 70, "answers": [{"answer": "brown"}] * 10}
+    ]}))
+    out = tmp_path / "imdb.json"
+    n = prepare_vqa(str(q), str(out), str(a))
+    assert n == 1
+    item = json.loads(out.read_text())[0]
+    assert item["question_tokens"] == ["what", "color", "is", "the", "dog"]
+    assert item["answers"] == ["brown"] * 10
+    assert item["image_id"] == "7"
+
+
+def test_prepare_nlvr2(tmp_path):
+    src = tmp_path / "dev.jsonl"
+    src.write_text(
+        json.dumps({"identifier": "dev-850-0-0", "sentence": "two dogs", "label": "True"})
+        + "\n"
+        + json.dumps({"identifier": "dev-850-1-0", "sentence": "one cat", "label": "False"})
+        + "\n"
+    )
+    out = tmp_path / "nlvr2.json"
+    n = prepare_nlvr2(str(src), str(out))
+    assert n == 2
+    rows = json.loads(out.read_text())
+    assert rows[0]["img0"] == "dev-850-0-img0"
+    assert rows[0]["label"] == 1 and rows[1]["label"] == 0
