@@ -63,7 +63,7 @@ def test_vqa_end_to_end(tok):
     ann, feats, vocab = vqa_ds.make_synthetic(128, tok, n_answers=8, feat_dim=FEAT_DIM)
     ds = vqa_ds.VQADataset(ann, feats, tok, vocab, max_seq_length=16, max_regions=10)
     model = VisualBertForTask(tiny_cfg(), head_type="vqa", num_answers=len(vocab))
-    state, result = run_fit(make_trainer(model), ds)
+    state, result = run_fit(make_trainer(model, epochs=7), ds, epochs=7)
     assert result.best_metric > 0.5, result.history  # chance = 1/8
 
 

@@ -203,37 +203,46 @@ def flash_attention(
     bias: jax.Array,
     dropout_rate: float = 0.0,
     seed: Optional[jax.Array] = None,
+    heads_major: bool = False,
 ) -> jax.Array:
     """Fused attention.
 
-    q/k/v: [B, T, H, D]; bias: [B, 1, 1, T] or [B, T] additive key mask
-    (0 at valid keys, -10000 at padding — the reference's mask form).
+    q/k/v: [B, T, H, D], or [B, H, T, D] with ``heads_major=True`` (the
+    kernel's native layout — no transposes; output keeps the input layout).
+    bias: [B, 1, 1, T] or [B, T] additive key mask (0 at valid keys,
+    -10000 at padding — the reference's mask form).
     dropout_rate: attention-prob dropout (0 disables; static).
     seed: int32 scalar; required when dropout_rate > 0.
     """
-    B, T, H, D = q.shape
+    if heads_major:
+        B, H, T, D = q.shape
+    else:
+        B, T, H, D = q.shape
     if bias.ndim == 4:
         key_bias = bias[:, 0, 0, :].astype(jnp.float32)
     else:
         key_bias = bias.astype(jnp.float32)
 
+    if not heads_major:
+        # [B, T, H, D] → [B, H, T, D] for lane-aligned blocks
+        q, k, v = (jnp.transpose(x, (0, 2, 1, 3)) for x in (q, k, v))
+
     # pad T to the lane quantum so [T, T] scores tile cleanly
     Tp = _round_up(T, 128)
     if Tp != T:
         pad = Tp - T
-        q = jnp.pad(q, ((0, 0), (0, pad), (0, 0), (0, 0)))
-        k = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))
-        v = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
         key_bias = jnp.pad(key_bias, ((0, 0), (0, pad)), constant_values=-10000.0)
 
     if seed is None:
         seed = jnp.zeros((), jnp.int32)
     seed = jnp.asarray(seed, jnp.int32).reshape((1,))
 
-    # [B, T, H, D] → [B, H, T, D] for lane-aligned blocks
-    q, k, v = (jnp.transpose(x, (0, 2, 1, 3)) for x in (q, k, v))
     out = _flash(q, k, v, key_bias, float(dropout_rate), seed)
-    out = jnp.transpose(out, (0, 2, 1, 3))
     if Tp != T:
-        out = out[:, :T]
+        out = out[:, :, :T]
+    if not heads_major:
+        out = jnp.transpose(out, (0, 2, 1, 3))
     return out

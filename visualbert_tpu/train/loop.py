@@ -81,6 +81,28 @@ def fit(
     best_epoch = -1
     history = []
 
+    try:
+        state, best, best_epoch = _fit_epochs(
+            trainer, state, train_data, eval_data, cfg, ckpt, key,
+            val_metric, val_metric_higher_is_better, eval_hook,
+            eval_fn, step_fn, history, best, best_epoch,
+        )
+    except (KeyboardInterrupt, Exception):
+        # checkpoint-on-failure, then re-raise (reference train.py:404-414)
+        if ckpt is not None:
+            path = ckpt.save(int(jax.device_get(state.step)), state)
+            log.warning("interrupted/failed — checkpoint saved to %s", path)
+        raise
+
+    return state, FitResult(
+        best_metric=float(best), best_epoch=best_epoch,
+        epochs_run=len(history), history=history,
+    )
+
+
+def _fit_epochs(trainer, state, train_data, eval_data, cfg, ckpt, key,
+                val_metric, val_metric_higher_is_better, eval_hook,
+                eval_fn, step_fn, history, best, best_epoch):
     for epoch in range(cfg.num_train_epochs):
         acc = MetricAccumulator()
         t0 = time.time()
@@ -134,7 +156,4 @@ def fit(
             log.info("early stop at epoch %d (best %.4f @ %d)", epoch, best, best_epoch)
             break
 
-    return state, FitResult(
-        best_metric=float(best), best_epoch=best_epoch,
-        epochs_run=len(history), history=history,
-    )
+    return state, best, best_epoch
