@@ -1,0 +1,50 @@
+"""unsup_vqa task e2e, distributed helpers, file cache."""
+
+import numpy as np
+import pytest
+
+from visualbert_tpu.tasks import registry
+from visualbert_tpu.utils.config_io import parse_task_config
+
+
+def test_unsup_vqa_task(tmp_path):
+    cfg = parse_task_config({
+        "task": "unsup_vqa",
+        "folder": str(tmp_path / "run"),
+        "data": {"synthetic": 160, "n_answers": 8, "max_seq_length": 10, "n_regions": 6},
+        "model": {
+            "vocab_size": 512, "hidden_size": 64, "num_hidden_layers": 2,
+            "num_attention_heads": 4, "intermediate_size": 128,
+            "max_position_embeddings": 64, "visual_embedding_dim": 16,
+            "hidden_dropout_prob": 0.0, "attention_probs_dropout_prob": 0.0,
+            "dtype": "float32",
+        },
+        "optimizer": {"learning_rate": 5e-4, "schedule": "warmup_linear",
+                      "warmup": 0.1, "t_total": 120},
+        "train": {"train_batch_size": 16, "eval_batch_size": 16,
+                  "num_train_epochs": 15, "log_every": 0},
+    })
+    state, result = registry.run(cfg)
+    assert np.isfinite(result.best_metric)
+    assert result.best_metric > 0.3, result.history  # chance 1/8
+
+
+def test_local_batch_slice_single_host():
+    from visualbert_tpu.parallel.distributed import initialize_distributed, local_batch_slice
+
+    assert initialize_distributed() is False  # no coordinator env set
+    start, size = local_batch_slice(32)
+    assert (start, size) == (0, 32)
+
+
+def test_file_cache_local(tmp_path):
+    from visualbert_tpu.utils.file_cache import cached_path
+
+    p = tmp_path / "x.txt"
+    p.write_text("hi")
+    assert cached_path(str(p)) == str(p)
+    assert cached_path(f"file://{p}") == str(p)
+    with pytest.raises(FileNotFoundError):
+        cached_path(str(tmp_path / "missing.txt"))
+    with pytest.raises(ValueError):
+        cached_path("ftp://nope/x")

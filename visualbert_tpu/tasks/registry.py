@@ -415,6 +415,54 @@ def run_unsup_pretrain(cfg: TaskConfig):
     return state, result
 
 
+@register("unsup_vqa")
+def run_unsup_vqa(cfg: TaskConfig):
+    from visualbert_tpu.data.datasets import unsup_vqa as uv
+    from visualbert_tpu.data.symbolic import SymbolicVocab
+    from visualbert_tpu.models.unsupervised import UnsupervisedConfig, UnsupervisedVQAModel
+
+    tok = _tokenizer(cfg)
+    d = cfg.data
+    if "objects_vocab" in d:
+        sym = SymbolicVocab.from_files(d["objects_vocab"], d["attributes_vocab"])
+    else:
+        sym = SymbolicVocab([f"obj{i}" for i in range(32)], [f"attr{i}" for i in range(8)])
+
+    if "synthetic" in d:
+        ann, feats, answers = uv.make_synthetic(
+            int(d["synthetic"]), tok, sym,
+            n_answers=int(d.get("n_answers", 8)),
+            feat_dim=cfg.model.visual_embedding_dim,
+        )
+        split = int(len(ann) * 0.8)
+        train_ann, eval_ann = ann[:split], ann[split:]
+    else:
+        from visualbert_tpu.data.features import H5Features
+
+        with open(d["train_annotations"]) as f:
+            train_ann = json.load(f)
+        with open(d["eval_annotations"]) as f:
+            eval_ann = json.load(f)
+        feats = H5Features(d["features_h5"])
+        with open(d["answer_list"]) as f:
+            answers = json.load(f)
+
+    ucfg = UnsupervisedConfig(
+        bert=cfg.model,
+        visual_feat_dim=cfg.model.visual_embedding_dim,
+        obj_id_num=sym.n_obj, attr_id_num=sym.n_attr,
+        symbolic_vocab_size=sym.size, num_answers=len(answers),
+    )
+    mk = lambda ann: uv.UnsupVQADataset(
+        ann, feats, tok, sym, answers,
+        max_seq_length=int(d.get("max_seq_length", 20)),
+        n_regions=int(d.get("n_regions", 36)),
+    )
+    model = UnsupervisedVQAModel(ucfg)
+    trainer = _trainer(cfg, model)
+    return _run_fit(cfg, trainer, mk(train_ann), mk(eval_ann))
+
+
 def run(cfg: TaskConfig):
     os.makedirs(cfg.folder, exist_ok=True)
     add_run_folder(cfg.folder)
