@@ -118,3 +118,19 @@ def test_default_decay_mask():
     assert mask["bert"]["embeddings"]["norm"]["scale"] is False
     assert mask["bert"]["embeddings"]["word_embeddings"]["embedding"] is True
     assert mask["cls"]["decoder_bias"] is False
+
+
+def test_frozen_params():
+    from visualbert_tpu.config import OptimizerConfig
+    from visualbert_tpu.train.optimizer import from_config
+
+    tx = from_config(OptimizerConfig(
+        learning_rate=1e-2, schedule=None, t_total=-1, frozen=("pooler",)
+    ))
+    params = {"pooler": {"dense": {"kernel": jnp.ones((2, 2))}},
+              "cls": {"kernel": jnp.ones((2, 2))}}
+    state = tx.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, state, params)
+    assert np.abs(np.asarray(updates["pooler"]["dense"]["kernel"])).max() == 0
+    assert np.abs(np.asarray(updates["cls"]["kernel"])).max() > 0

@@ -60,6 +60,8 @@ class VisualBertConfig:
     # slower compile but removes the scan's dynamic-update-slice copies of
     # every backward residual (~20% step time at BERT-base).
     scan_layers: bool = True
+    # fused residual+LayerNorm Pallas kernel (apex FusedLayerNorm analogue)
+    use_fused_layer_norm: bool = False
 
     @property
     def head_dim(self) -> int:

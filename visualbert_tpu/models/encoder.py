@@ -174,6 +174,32 @@ class SelfAttention(nn.Module):
         return (out, probs) if output_probs else (out, None)
 
 
+class ResidualNorm(nn.Module):
+    """LayerNorm(x + residual) — fused Pallas kernel (the apex
+    FusedLayerNorm analogue, reference modeling.py:158-162) or identical
+    two-pass fp32 XLA math."""
+
+    config: VisualBertConfig
+
+    @nn.compact
+    def __call__(self, x: Array, res: Array) -> Array:
+        cfg = self.config
+        scale = self.param(
+            "scale", nn.initializers.ones_init(), (cfg.hidden_size,), cfg.param_dtype
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(), (cfg.hidden_size,), cfg.param_dtype
+        )
+        from visualbert_tpu.ops.layer_norm import (
+            fused_add_layer_norm,
+            reference_add_layer_norm,
+        )
+
+        if cfg.use_fused_layer_norm:
+            return fused_add_layer_norm(x, res, scale, bias, cfg.layer_norm_eps)
+        return reference_add_layer_norm(x, res, scale, bias, cfg.layer_norm_eps)
+
+
 class TransformerLayer(nn.Module):
     """Post-LN BERT layer: attn → add&norm → FFN(gelu) → add&norm
     (reference: modeling.py:322-342)."""
@@ -190,19 +216,13 @@ class TransformerLayer(nn.Module):
     ):
         cfg = self.config
         init = truncated_normal_init(cfg.initializer_range)
-        ln = functools.partial(
-            nn.LayerNorm,
-            epsilon=cfg.layer_norm_eps,
-            dtype=jnp.float32,
-            param_dtype=cfg.param_dtype,
-        )
         dropout = nn.Dropout(rate=cfg.hidden_dropout_prob)
 
         attn_out, probs = SelfAttention(cfg, name="attention")(
             hidden, attn_bias, deterministic, output_probs
         )
         attn_out = dropout(attn_out, deterministic=deterministic)
-        hidden = ln(name="attention_norm")(attn_out + hidden).astype(cfg.dtype)
+        hidden = ResidualNorm(cfg, name="attention_norm")(attn_out, hidden)
 
         ffn = nn.Dense(
             cfg.intermediate_size,
@@ -223,7 +243,7 @@ class TransformerLayer(nn.Module):
             name="output",
         )(ffn)
         ffn = dropout(ffn, deterministic=deterministic)
-        hidden = ln(name="output_norm")(ffn + hidden).astype(cfg.dtype)
+        hidden = ResidualNorm(cfg, name="output_norm")(ffn, hidden)
         return hidden, probs
 
 

@@ -170,8 +170,22 @@ def default_decay_mask(params) -> Any:
     return walk(params, ())
 
 
+def frozen_mask(params, frozen_substrings) -> Any:
+    """True for parameters whose '/'-joined path contains any listed
+    substring — the reference excludes e.g. the pooler from pretraining
+    optimization (model_wrapper.py:104)."""
+
+    def walk(tree, path):
+        if isinstance(tree, dict):
+            return {k: walk(v, path + (k,)) for k, v in tree.items()}
+        joined = "/".join(str(p) for p in path)
+        return any(s in joined for s in frozen_substrings)
+
+    return walk(params, ())
+
+
 def from_config(opt_cfg: OptimizerConfig, decay_mask=default_decay_mask) -> optax.GradientTransformation:
-    return bert_adam(
+    tx = bert_adam(
         learning_rate=opt_cfg.learning_rate,
         schedule=opt_cfg.schedule,
         warmup=opt_cfg.warmup,
@@ -183,3 +197,16 @@ def from_config(opt_cfg: OptimizerConfig, decay_mask=default_decay_mask) -> opta
         max_grad_norm=opt_cfg.max_grad_norm,
         decay_mask=decay_mask,
     )
+    if opt_cfg.frozen:
+        inner_update = tx.update
+
+        def update(grads, state, params=None):
+            updates, new_state = inner_update(grads, state, params)
+            fm = frozen_mask(params, opt_cfg.frozen)
+            updates = jax.tree.map(
+                lambda u, f: jnp.zeros_like(u) if f else u, updates, fm
+            )
+            return updates, new_state
+
+        tx = optax.GradientTransformation(tx.init, update)
+    return tx
