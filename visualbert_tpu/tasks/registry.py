@@ -65,7 +65,10 @@ def _run_fit(cfg: TaskConfig, trainer, train_ds, eval_ds, val_metric="accuracy",
              dump_hook=None):
     train_b = Batcher(train_ds, cfg.train.train_batch_size, seed=cfg.train.seed)
     eval_b = (
-        Batcher(eval_ds, cfg.train.eval_batch_size, shuffle=False, seed=cfg.train.seed)
+        Batcher(
+            eval_ds, cfg.train.eval_batch_size, shuffle=False,
+            seed=cfg.train.seed, drop_last=False, pad_final=True,
+        )
         if eval_ds is not None
         else None
     )
@@ -315,7 +318,24 @@ def run_flickr(cfg: TaskConfig):
     )
     model = VisualBertForTask(cfg.model, head_type="flickr")
     trainer = _trainer(cfg, model)
-    return _run_fit(cfg, trainer, mk(train_ann), mk(eval_ann))
+
+    def dump(collected, folder):
+        # R@1/5/10 over gold-region mass, the paper's grounding metric
+        # (reference compute_score_with_logits_flickr, modeling.py:1648-1676)
+        hits = {1: 0, 5: 0, 10: 0}
+        total = 0
+        for batch, out in collected:
+            scores = np.asarray(out["logits"], np.float32)   # [B, E, R]
+            label = np.asarray(batch["label"], np.float32)
+            valid = np.asarray(batch["flickr_position"]) >= 0
+            order = np.argsort(-scores, axis=-1)
+            for k in hits:
+                topk = np.take_along_axis(label, order[..., :k], axis=-1).sum(-1) > 0
+                hits[k] += int(topk[valid].sum())
+            total += int(valid.sum())
+        return {f"recall_at_{k}": hits[k] / max(total, 1) for k in hits}
+
+    return _run_fit(cfg, trainer, mk(train_ann), mk(eval_ann), dump_hook=dump)
 
 
 @register("vcr")
@@ -348,7 +368,15 @@ def run_vcr(cfg: TaskConfig):
         cnn_loss_ratio=float(d.get("cnn_loss_ratio", 0.1)),
     )
     trainer = _trainer(cfg, model)
-    return _run_fit(cfg, trainer, mk(train_ann), mk(eval_ann))
+
+    def dump(collected, folder):
+        # per-choice logits for the leaderboard tooling (train.py:352-368)
+        logits = [np.asarray(out["logits"], np.float32) for _, out in collected]
+        if logits:
+            np.save(os.path.join(folder, "vcr_logits.npy"), np.concatenate(logits))
+        return {}
+
+    return _run_fit(cfg, trainer, mk(train_ann), mk(eval_ann), dump_hook=dump)
 
 
 @register("unsup_pretrain")
