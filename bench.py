@@ -97,6 +97,43 @@ def measure(batch_size, use_flash=True, remat=False, scan_layers=True, K=10, rep
     return best
 
 
+def measure_eval_qps(batch_size=64, K=20):
+    """Secondary BASELINE metric: VQA2 eval QPS (forward-only, bf16)."""
+    import jax
+    import jax.numpy as jnp
+
+    from visualbert_tpu.config import VisualBertConfig
+    from visualbert_tpu.models.visualbert import VisualBertForTask
+    from visualbert_tpu.train.trainer import unbox
+
+    cfg = VisualBertConfig.base(use_flash_attention=True, scan_layers=False)
+    model = VisualBertForTask(cfg, head_type="vqa")
+    rng = np.random.RandomState(0)
+    batch = {
+        "input_ids": rng.randint(0, cfg.vocab_size, size=(batch_size, 128)).astype(np.int32),
+        "token_type_ids": np.zeros((batch_size, 128), np.int32),
+        "input_mask": np.ones((batch_size, 128), np.int32),
+        "visual_embeddings": rng.randn(batch_size, 100, 2048).astype(np.float32),
+        "image_mask": np.ones((batch_size, 100), np.int32),
+    }
+    batch = jax.tree.map(jnp.asarray, batch)
+    params = unbox(model.init({"params": jax.random.PRNGKey(0)}, batch)["params"])
+
+    def multi(params, batch):
+        def body(_, i):
+            out = model.apply({"params": params}, batch, deterministic=True)
+            return None, out["logits"][0, 0]
+
+        return jax.lax.scan(body, None, jnp.arange(K))[1]
+
+    multi = jax.jit(multi)
+    np.asarray(multi(params, batch))
+    t0 = time.perf_counter()
+    np.asarray(multi(params, batch))
+    dt = time.perf_counter() - t0
+    return batch_size * K / dt
+
+
 def main():
     best = 0.0
     err = None
@@ -117,6 +154,11 @@ def main():
             break
     if best == 0.0 and err is not None:
         raise err
+    try:
+        qps = measure_eval_qps()
+        print(f"# vqa_eval_qps: {qps:.1f} examples/s/chip", file=sys.stderr)
+    except Exception as e:
+        print(f"# vqa_eval_qps failed: {type(e).__name__}", file=sys.stderr)
     print(
         json.dumps(
             {

@@ -48,3 +48,22 @@ def test_file_cache_local(tmp_path):
         cached_path(str(tmp_path / "missing.txt"))
     with pytest.raises(ValueError):
         cached_path("ftp://nope/x")
+
+
+def test_coco_pretrain_task_smoke(tmp_path):
+    cfg = parse_task_config({
+        "task": "coco_pretrain",
+        "folder": str(tmp_path / "run"),
+        "data": {"synthetic": 32, "max_seq_length": 16, "max_regions": 6},
+        "model": {
+            "vocab_size": 512, "hidden_size": 32, "num_hidden_layers": 1,
+            "num_attention_heads": 2, "intermediate_size": 64,
+            "max_position_embeddings": 32, "visual_embedding_dim": 32,
+            "dtype": "float32",
+        },
+        "optimizer": {"learning_rate": 1e-3, "schedule": "none", "t_total": -1},
+        "train": {"train_batch_size": 8, "num_train_epochs": 1, "log_every": 0},
+    })
+    state, result = registry.run(cfg)
+    assert result.epochs_run == 1
+    assert np.isfinite(result.history[0]["train_loss"])

@@ -230,6 +230,12 @@ def run_coco_pretrain(cfg: TaskConfig):
         two_sentence=bool(d.get("two_sentence", True)),
     )
     model = VisualBertForTask(cfg.model, head_type="pretraining")
+    # the reference excludes the pooler from pretraining optimization
+    # (model_wrapper.py:104) — reproduce unless the config already says so
+    if not cfg.optimizer.frozen:
+        import dataclasses as _dc
+
+        cfg = _dc.replace(cfg, optimizer=_dc.replace(cfg.optimizer, frozen=("pooler",)))
     trainer = _trainer(cfg, model)
     return _run_fit(cfg, trainer, ds, None, val_metric="loss")
 
