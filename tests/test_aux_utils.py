@@ -148,3 +148,76 @@ def test_multi_step_fn(rng):
     state, metrics = multi(state, jax.tree.map(np.asarray, stacked), jax.random.PRNGKey(1))
     assert metrics["loss"].shape == (K,)
     assert int(jax.device_get(state.step)) == K
+
+
+def test_probing_with_real_model(rng):
+    """Export attention maps from the model and run the grounding probe."""
+    import jax
+    import jax.numpy as jnp
+
+    from visualbert_tpu.config import VisualBertConfig
+    from visualbert_tpu.data.datasets import flickr as flickr_ds
+    from visualbert_tpu.data.pipeline import Batcher
+    from visualbert_tpu.data.tokenization import BertTokenizer
+    from visualbert_tpu.models.visualbert import VisualBertForTask
+    from visualbert_tpu.tasks.probing import grounding_accuracy_by_layer
+    from visualbert_tpu.train.trainer import unbox
+
+    vocab = {w: i for i, w in enumerate(
+        ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"] + [f"w{i}" for i in range(30)])}
+    tok = BertTokenizer(vocab)
+    ann, feats = flickr_ds.make_synthetic(16, tok, feat_dim=16)
+    ds = flickr_ds.Flickr30kDataset(ann, feats, tok, max_seq_length=12,
+                                    max_regions=8, max_entities=4)
+    batch = next(iter(Batcher(ds, 8, shuffle=False, seed=0).epoch(0)))
+    cfg = VisualBertConfig.tiny(visual_embedding_dim=16)
+    model = VisualBertForTask(cfg, head_type="flickr")
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    params = unbox(model.init({"params": jax.random.PRNGKey(0)}, jb)["params"])
+    out = model.apply({"params": params}, jb, deterministic=True,
+                      output_attention_probs=True)
+    probs = np.asarray(out["attention_weights"])
+    L = cfg.num_hidden_layers
+    assert probs.shape[0] == L and probs.shape[3] == probs.shape[4] == 12 + 8
+    acc = grounding_accuracy_by_layer(
+        probs, batch["flickr_position"], batch["label"], text_len=12
+    )
+    assert set(acc) == set(range(L))
+    assert all(0.0 <= v <= 1.0 for v in acc.values())
+
+
+def test_bucketed_batchers(rng):
+    from visualbert_tpu.data.pipeline import (
+        bucket_boundaries_assign,
+        make_bucketed_batchers,
+    )
+
+    lengths = [3, 10, 4, 18, 9, 2, 30, 11] * 4
+    assign = bucket_boundaries_assign(lengths, [8, 16, 24])
+    assert sorted(sum(assign.values(), [])) == list(range(len(lengths)))
+    assert all(lengths[i] <= 8 for i in assign[8])
+    assert 6 in assign[24] or 6 in assign.get(24, [])  # 30 > 24 → last bucket
+
+    class FakeDS:
+        def __init__(self, pad):
+            self.pad = pad
+
+        def __len__(self):
+            return len(lengths)
+
+        def __getitem__(self, args):
+            i, _ = args
+            row = np.zeros(self.pad, np.int32)
+            row[: min(lengths[i], self.pad)] = 1
+            return {"x": row, "idx": np.int64(i)}
+
+    hybrid = make_bucketed_batchers(FakeDS, lengths, [8, 16, 24], batch_size=4, seed=0)
+    seen_shapes = set()
+    seen_idx = []
+    for batch in hybrid.epoch(0):
+        seen_shapes.add(batch["x"].shape[1])
+        seen_idx.extend(batch["idx"].tolist())
+        # every example fits its bucket
+        assert (batch["x"].sum(1) <= batch["x"].shape[1]).all()
+    assert seen_shapes <= {8, 16, 24} and len(seen_shapes) >= 2
+    assert len(set(seen_idx)) == len(seen_idx)  # no duplicates within epoch

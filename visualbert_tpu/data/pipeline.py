@@ -144,3 +144,61 @@ def pad_regions(
     if extra:
         extras = {k: pad_to(v, max_regions, axis=0) for k, v in extra.items()}
     return out, mask, extras
+
+
+class SubsetDataset:
+    """View of a dataset restricted to an index list."""
+
+    def __init__(self, dataset, indices: Sequence[int]):
+        self.dataset = dataset
+        self.indices = list(indices)
+
+    def __len__(self):
+        return len(self.indices)
+
+    def __getitem__(self, args):
+        i, rng = args
+        return self.dataset[(self.indices[i], rng)]
+
+
+def bucket_boundaries_assign(lengths: Sequence[int], boundaries: Sequence[int]):
+    """Assign each example to the smallest boundary ≥ its length.
+    Returns {boundary: [indices]}; over-long examples go to the last bucket
+    (datasets truncate)."""
+    out: Dict[int, List[int]] = {b: [] for b in boundaries}
+    last = boundaries[-1]
+    for i, n in enumerate(lengths):
+        for b in boundaries:
+            if n <= b:
+                out[b].append(i)
+                break
+        else:
+            out[last].append(i)
+    return {b: idx for b, idx in out.items() if idx}
+
+
+def make_bucketed_batchers(
+    dataset_factory: Callable[[int], object],
+    lengths: Sequence[int],
+    boundaries: Sequence[int],
+    batch_size: int,
+    *,
+    seed: int = 0,
+    shuffle: bool = True,
+):
+    """Bucketed padding (SURVEY §7 hard-parts): one fixed shape per bucket —
+    a bounded number of compiled programs instead of per-batch-max padding.
+
+    dataset_factory(boundary) builds a dataset padding to that boundary;
+    returns a HybridBatcher interleaving single-bucket batches.
+    """
+    from visualbert_tpu.data.hybrid import HybridBatcher
+
+    assignments = bucket_boundaries_assign(lengths, boundaries)
+    batchers = []
+    for boundary, indices in sorted(assignments.items()):
+        ds = SubsetDataset(dataset_factory(boundary), indices)
+        batchers.append(
+            Batcher(ds, batch_size, shuffle=shuffle, seed=seed)
+        )
+    return HybridBatcher(batchers, seed=seed)
