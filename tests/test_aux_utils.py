@@ -221,3 +221,35 @@ def test_bucketed_batchers(rng):
         assert (batch["x"].sum(1) <= batch["x"].shape[1]).all()
     assert seen_shapes <= {8, 16, 24} and len(seen_shapes) >= 2
     assert len(set(seen_idx)) == len(seen_idx)  # no duplicates within epoch
+
+
+def test_image_folder_store(tmp_path, rng):
+    import json
+
+    pytest.importorskip("PIL")
+    from PIL import Image
+
+    from visualbert_tpu.utils.images import ImageFolderStore, prepare_image
+
+    img = (rng.rand(60, 80, 3) * 255).astype(np.uint8)
+    Image.fromarray(img).save(tmp_path / "x.jpg")
+    (tmp_path / "x.json").write_text(json.dumps({
+        "boxes": [[4, 4, 40, 30, 0.9], [10, 10, 70, 50, 0.8]],
+        "names": ["person", "car"],
+        "segms": [[[[4, 4], [40, 4], [40, 30], [4, 30]]],
+                  [[[10, 10], [70, 10], [70, 50], [10, 50]]]],
+    }))
+    store = ImageFolderStore(str(tmp_path), target=64,
+                             class_names=["person", "car"])
+    assert "x" in store
+    row = store.get("x")
+    assert row["image"].shape == (64, 64, 3)
+    assert row["boxes"].shape == (2, 4)
+    # scale = 64/80 = 0.8 → first box x2 = 40*0.8 = 32
+    np.testing.assert_allclose(row["boxes"][0, 2], 32.0, atol=1e-4)
+    assert list(row["classes"]) == [0, 1]
+    assert row["segms"].shape == (2, 14, 14)
+    assert row["segms"].max() > 0.5
+
+    prep = prepare_image(str(tmp_path / "x.jpg"), target=64, pad_square=False)
+    assert prep["image"].shape[0] == 48  # 60*0.8
