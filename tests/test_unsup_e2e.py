@@ -1,0 +1,65 @@
+"""End-to-end unsupervised model: detector in the training graph, in-graph
+masked-feature/tag objectives, gradients reach the conv trunk."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from visualbert_tpu.config import VisualBertConfig
+from visualbert_tpu.models.unsup_e2e import UnsupervisedEndToEnd
+from visualbert_tpu.models.unsupervised import UnsupervisedConfig
+from visualbert_tpu.train.trainer import unbox
+
+
+def make_batch(rng, B=2, N=3, T=6, img=32, vocab=128):
+    boxes = np.zeros((B, N, 4), np.float32)
+    for b in range(B):
+        for n in range(N):
+            x = rng.uniform(0, img - 12)
+            y = rng.uniform(0, img - 12)
+            boxes[b, n] = [x, y, x + 10, y + 10]
+    lm = np.full((B, T), -1, np.int32)
+    lm[:, 2] = rng.randint(0, vocab, size=B)
+    return {
+        "images": rng.randn(B, img, img, 3).astype(np.float32),
+        "boxes": boxes,
+        "boxes_norm": boxes / img,
+        "box_mask": np.ones((B, N), np.int32),
+        "input_ids": rng.randint(0, vocab, size=(B, T)).astype(np.int32),
+        "token_type_ids": np.zeros((B, T), np.int32),
+        "input_mask": np.ones((B, T), np.int32),
+        "masked_lm_labels": lm,
+        "matched_label": np.ones(B, np.int32),
+        "feat_mask": (rng.rand(B, N) < 0.4).astype(np.int32),
+        "tag_mask": (rng.rand(B, N) < 0.4).astype(np.int32),
+    }
+
+
+def test_unsup_e2e_forward_and_grads(rng):
+    bert = VisualBertConfig.tiny(
+        vocab_size=128, visual_embedding_dim=2048,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+    ucfg = UnsupervisedConfig(
+        bert=bert, visual_feat_dim=2048, obj_id_num=81, attr_id_num=4,
+        symbolic_vocab_size=81 + 4 + 3,
+    )
+    model = UnsupervisedEndToEnd(ucfg, class_to_symbolic=tuple(range(81)))
+    batch = jax.tree.map(jnp.asarray, make_batch(np.random.RandomState(0)))
+    params = unbox(model.init({"params": jax.random.PRNGKey(0)}, batch)["params"])
+    out = model.apply({"params": params}, batch)
+    assert np.isfinite(float(out["loss"]))
+    for k in ("masked_lm_loss", "matched_loss", "obj_loss", "feat_loss",
+              "masked_tag_loss"):
+        assert k in out, sorted(out)
+
+    def loss_fn(p):
+        return model.apply({"params": p}, batch)["loss"]
+
+    g = jax.grad(loss_fn)(params)
+    # gradients reach the ResNet trunk (end-to-end training works)
+    conv_g = g["detector"]["backbone"]["conv1"]["kernel"]
+    assert float(jnp.abs(conv_g).sum()) > 0
+    # and the encoder
+    enc_g = jax.tree.leaves(g["trunk"]["encoder"])
+    assert any(float(jnp.abs(x).sum()) > 0 for x in enc_g)

@@ -360,9 +360,22 @@ def run_vcr(cfg: TaskConfig):
             train_ann = json.load(f)
         with open(d["eval_annotations"]) as f:
             eval_ann = json.load(f)
-        from visualbert_tpu.data.features import NpyFolderFeatures
+        if "images_dir" in d:
+            # raw jpg + json metadata (VCR release layout)
+            from visualbert_tpu.utils.images import ImageFolderStore
 
-        images = NpyFolderFeatures(d["images_dir"])
+            class_names = None
+            if "class_names" in d:
+                with open(d["class_names"]) as f:
+                    class_names = [line.strip() for line in f if line.strip()]
+            images = ImageFolderStore(
+                d["images_dir"], target=int(d.get("image_size", 768)),
+                class_names=class_names,
+            )
+        else:
+            from visualbert_tpu.data.features import NpyFolderFeatures
+
+            images = NpyFolderFeatures(d["preprocessed_dir"])
     mk = lambda ann: vcr_ds.VCRDataset(
         ann, images, tok,
         max_seq_length=int(d.get("max_seq_length", 128)),
