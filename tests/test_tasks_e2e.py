@@ -60,10 +60,22 @@ def run_fit(trainer, dataset, batch_size=16, epochs=4, eval_dataset=None):
 
 
 def test_vqa_end_to_end(tok):
+    """lr 1e-3 + warmup: constant 2e-3 is unstable under BertAdam's
+    no-bias-correction early steps and made this test flaky."""
     ann, feats, vocab = vqa_ds.make_synthetic(128, tok, n_answers=8, feat_dim=FEAT_DIM)
     ds = vqa_ds.VQADataset(ann, feats, tok, vocab, max_seq_length=16, max_regions=10)
     model = VisualBertForTask(tiny_cfg(), head_type="vqa", num_answers=len(vocab))
-    state, result = run_fit(make_trainer(model, epochs=7), ds, epochs=7)
+    epochs = 10
+    trainer = Trainer(
+        model=model,
+        opt_config=OptimizerConfig(
+            learning_rate=1e-3, schedule="warmup_linear", warmup=0.1,
+            t_total=epochs * 8,
+        ),
+        train_config=TrainConfig(num_train_epochs=epochs, log_every=0, patience=100),
+        mesh=create_mesh((8, 1)),
+    )
+    state, result = run_fit(trainer, ds, epochs=epochs)
     assert result.best_metric > 0.5, result.history  # chance = 1/8
 
 

@@ -48,6 +48,17 @@ def truncated_normal_init(stddev: float):
     return nn.initializers.truncated_normal(stddev=stddev, lower=-2.0, upper=2.0)
 
 
+def activation(name: str):
+    """Reference ACT2FN (modeling.py:56-69): exact-erf gelu, relu, swish;
+    plus tanh-approx gelu as a TPU-speed option."""
+    return {
+        "gelu": lambda x: jax.nn.gelu(x, approximate=False),
+        "gelu_tanh": lambda x: jax.nn.gelu(x, approximate=True),
+        "relu": jax.nn.relu,
+        "swish": jax.nn.swish,
+    }[name]
+
+
 class FusedQKV(nn.Module):
     """Single fused QKV projection — one [H, 3·H] matmul instead of three
     (better MXU utilization). ``heads_major=True`` emits [B, 3, H, T, D]
@@ -232,8 +243,8 @@ class TransformerLayer(nn.Module):
             bias_init=nn.with_partitioning(nn.initializers.zeros_init(), ("mlp",)),
             name="intermediate",
         )(hidden)
-        # exact (erf) gelu — reference modeling.py:56-61
-        ffn = jax.nn.gelu(ffn, approximate=False)
+        # default: exact (erf) gelu — reference modeling.py:56-61
+        ffn = activation(cfg.hidden_act)(ffn)
         ffn = nn.Dense(
             cfg.hidden_size,
             dtype=cfg.dtype,

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from visualbert_tpu.config import VisualBertConfig
-from visualbert_tpu.models.encoder import NEG_INF, truncated_normal_init
+from visualbert_tpu.models.encoder import NEG_INF, activation, truncated_normal_init
 
 Array = jax.Array
 
@@ -38,7 +38,7 @@ class MLMTransform(nn.Module):
             ),
             name="dense",
         )(hidden)
-        x = jax.nn.gelu(x, approximate=False)
+        x = activation(cfg.hidden_act)(x)
         x = nn.LayerNorm(
             epsilon=cfg.layer_norm_eps,
             dtype=jnp.float32,

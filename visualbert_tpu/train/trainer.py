@@ -135,6 +135,7 @@ class Trainer:
     def train_step_fn(self):
         if self._train_step is not None:
             return self._train_step
+        assert self._specs is not None, "call init_state() before train_step_fn()"
 
         accum = self.train_config.gradient_accumulation_steps
         loss_fn = self._build_loss_fn()
