@@ -158,3 +158,6 @@ class TrainConfig:
     log_every: int = 100
     # Mesh geometry: (data, model) axis sizes; model=1 → pure DP.
     mesh_shape: Tuple[int, int] = (1, 1)
+    # skip the update when the loss is non-finite (in-graph failure guard;
+    # the reference has no equivalent — a NaN batch corrupts the run)
+    nan_guard: bool = False

@@ -171,6 +171,19 @@ class Trainer:
 
             updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
             new_params = optax.apply_updates(state.params, updates)
+            if self.train_config.nan_guard:
+                # keep the old state when this batch produced a non-finite
+                # loss; the step counter still advances so schedules move on
+                ok = jnp.isfinite(metrics["loss"])
+                new_params = jax.tree.map(
+                    lambda new, old: jnp.where(ok, new, old), new_params, state.params
+                )
+                new_opt = jax.tree.map(
+                    lambda new, old: jnp.where(ok, new, old)
+                    if hasattr(new, "shape") else new,
+                    new_opt, state.opt_state,
+                )
+                metrics["skipped_nonfinite"] = (~ok).astype(jnp.float32)
             new_state = TrainState(
                 step=state.step + 1, params=new_params, opt_state=new_opt
             )
