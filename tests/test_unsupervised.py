@@ -173,3 +173,52 @@ def test_answer_table_surgery():
     np.testing.assert_array_equal(out["kernel"][:, 0], k[:, 3])  # dog
     np.testing.assert_array_equal(out["kernel"][:, 2], k[:, 0])  # yes
     assert (out["kernel"][:, 1] == 0).all()                      # bird fresh
+
+
+def test_image_only_batch(tok, sym):
+    """Image-only hybrid batches (no text stream) — reference
+    lxmert_pretrain.py:86-173 image_only_splits."""
+    model = UnsupervisedVisualBert(make_ucfg(sym))
+    rng = np.random.default_rng(0)
+    B, N = 4, 6
+    feat_mask = (rng.random((B, N)) < 0.5).astype(np.float32)
+    batch = {
+        "visual_feats": jnp.asarray(rng.normal(size=(B, N, FEAT_DIM)), jnp.float32),
+        "boxes": jnp.asarray(rng.random((B, N, 4)), jnp.float32),
+        "visual_feats_mask": jnp.ones((B, N), jnp.int32),
+        "visual_tags": jnp.asarray(rng.integers(0, sym.size, (B, N)), jnp.int32),
+        "visual_tags_box": jnp.asarray(rng.random((B, N, 4)), jnp.float32),
+        "visual_tags_mask": jnp.ones((B, N), jnp.int32),
+        "visual_tags_objective": jnp.asarray(rng.integers(-1, sym.size, (B, N)), jnp.int32),
+        "obj_labels": jnp.asarray(rng.integers(0, sym.n_obj, (B, N)), jnp.int32),
+        "obj_conf": jnp.asarray(feat_mask),
+        "attr_labels": jnp.asarray(rng.integers(0, sym.n_attr, (B, N)), jnp.int32),
+        "attr_conf": jnp.asarray(feat_mask * 0.5),
+        "feat_target": jnp.asarray(rng.normal(size=(B, N, FEAT_DIM)), jnp.float32),
+        "feat_mask": jnp.asarray(feat_mask),
+    }
+    v = model.init({"params": jax.random.PRNGKey(0)}, batch)
+    out = model.apply(v, batch)
+    assert np.isfinite(float(out["loss"]))
+    assert "masked_lm_loss" not in out and "matched_loss" not in out
+    assert "obj_loss" in out and "masked_tag_loss" in out
+
+
+def test_text_only_batch(tok, sym):
+    """Text-only hybrid batches (no visual streams) — reference
+    text_only_splits with GeneralCorpusNP."""
+    model = UnsupervisedVisualBert(make_ucfg(sym))
+    rng = np.random.default_rng(0)
+    B, T = 4, 10
+    lm = np.full((B, T), -1, np.int32)
+    lm[:, 3] = rng.integers(0, len(VOCAB), B)
+    batch = {
+        "input_ids": jnp.asarray(rng.integers(0, len(VOCAB), (B, T)), jnp.int32),
+        "input_mask": jnp.ones((B, T), jnp.int32),
+        "masked_lm_labels": jnp.asarray(lm),
+    }
+    v = model.init({"params": jax.random.PRNGKey(0)}, batch)
+    out = model.apply(v, batch)
+    assert np.isfinite(float(out["loss"]))
+    assert "masked_lm_loss" in out
+    assert "obj_loss" not in out
