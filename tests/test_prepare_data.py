@@ -57,3 +57,32 @@ def test_prepare_nlvr2(tmp_path):
     rows = json.loads(out.read_text())
     assert rows[0]["img0"] == "dev-850-0-img0"
     assert rows[0]["label"] == 1 and rows[1]["label"] == 0
+
+
+def test_prepare_vcr(tmp_path):
+    from visualbert_tpu.tools.prepare_data import prepare_vcr
+
+    row = {
+        "img_id": "val-42",
+        "question": ["why", "is", [0], "smiling", "?"],
+        "answer_choices": [["because", [1]], ["happy"], ["sad"], ["tired"]],
+        "answer_label": 0,
+        "rationale_choices": [["r1"], ["r2"], ["r3"], ["r4"]],
+        "rationale_label": 2,
+        "objects": ["person", "dog"],
+    }
+    src = tmp_path / "val.jsonl"
+    src.write_text(json.dumps(row) + "\n")
+
+    out_a = tmp_path / "qa.json"
+    assert prepare_vcr(str(src), str(out_a), mode="answer") == 1
+    qa = json.loads(out_a.read_text())[0]
+    assert qa["label"] == 0 and len(qa["choices"]) == 4
+    assert qa["question"][2] == [0]
+
+    out_r = tmp_path / "qar.json"
+    prepare_vcr(str(src), str(out_r), mode="rationale")
+    qar = json.loads(out_r.read_text())[0]
+    # QA→R: question extended with the correct answer
+    assert qar["question"][-2:] == ["because", [1]]
+    assert qar["label"] == 2

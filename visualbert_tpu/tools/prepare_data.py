@@ -162,3 +162,48 @@ def prepare_flickr30k_entities(
     with open(out_path, "w") as f:
         json.dump(out, f)
     return len(out)
+
+
+def prepare_vcr(
+    jsonl_path: str,
+    out_path: str,
+    mode: str = "answer",
+) -> int:
+    """Official VCR jsonl → our annotation format.
+
+    mode="answer": Q→A (choices = answer_choices).
+    mode="rationale": QA→R (question := question + correct answer;
+    choices = rationale_choices) — the reference's two fine-tune modes
+    (vcr.py:118-119, fine-tune-qa/qar configs).
+
+    Detection references stay as int lists inside token streams; the
+    ``objects`` list names each detection's class.
+    """
+    assert mode in ("answer", "rationale"), mode
+    out = []
+    with open(jsonl_path) as f:
+        for line in f:
+            if not line.strip():
+                continue
+            row = json.loads(line)
+            question = list(row["question"])
+            if mode == "answer":
+                choices = row["answer_choices"]
+                label = row.get("answer_label")
+            else:
+                right_answer = row["answer_choices"][row["answer_label"]]
+                question = question + list(right_answer)
+                choices = row["rationale_choices"]
+                label = row.get("rationale_label")
+            item = {
+                "image_id": row["img_id"],
+                "question": question,
+                "choices": choices,
+                "objects": row.get("objects", []),
+            }
+            if label is not None:
+                item["label"] = int(label)
+            out.append(item)
+    with open(out_path, "w") as f:
+        json.dump(out, f)
+    return len(out)
