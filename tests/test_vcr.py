@@ -82,3 +82,33 @@ def test_vcr_end_to_end_train(tok):
     assert np.isfinite(losses).all(), losses
     assert losses[-1] < losses[0], (losses[0], losses[-1])
     assert float(m["cnn_regularization_loss"]) > 0
+
+
+def test_vcr_pretrain_dataset(tok):
+    from visualbert_tpu.models.vcr import VisualBertDetectorModel
+
+    ann, images = vcr_ds.make_synthetic(4, tok)
+    ds = vcr_ds.VCRPretrainDataset(ann, images, tok, max_seq_length=20, max_boxes=4)
+    assert len(ds) == 16  # 4 items × 4 choices (complete_shuffle ×4)
+    s = ds[(5, np.random.default_rng(0))]
+    assert s["input_ids"].shape == (1, 20)
+    assert s["masked_lm_labels"].shape == (1, 20)
+    assert s["mlm_positions"].shape == (1, 16)
+
+    cfg = VisualBertConfig.tiny(
+        visual_embedding_dim=64, hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0,
+    )
+    model = VisualBertDetectorModel(cfg, head_type="pretraining",
+                                    final_dim=64, num_choices=1)
+    from visualbert_tpu.data.pipeline import Batcher
+
+    batch = next(iter(Batcher(ds, 8, seed=0).epoch(0)))
+    import jax
+    import jax.numpy as jnp
+
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    v = model.init({"params": jax.random.PRNGKey(0)}, jb)
+    out = model.apply(v, jb)
+    assert np.isfinite(float(out["loss"]))
+    assert "masked_lm_loss" in out

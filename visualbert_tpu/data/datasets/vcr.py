@@ -208,3 +208,92 @@ def make_synthetic(n: int, tokenizer: BertTokenizer, img_size: int = 32,
             "objects": ["person"] * n_boxes,
         })
     return annotations, ChunkFeatures(chunk)
+
+
+class VCRPretrainDataset(VCRDataset):
+    """VCR-domain pretraining (reference ``complete_shuffle``,
+    vcr.py:187-193,249-259): every (item, choice) pair becomes ONE masked-LM
+    example — len(annotations) × num_choices examples of question+choice text
+    with 80/10/10 masking over the image's detections."""
+
+    def __init__(self, *args, mask_prob: float = 0.15,
+                 n_mlm_predictions: int = 16, **kw):
+        super().__init__(*args, **kw)
+        self.mask_prob = mask_prob
+        self.n_mlm_predictions = n_mlm_predictions
+
+    def __len__(self):
+        return len(self.annotations) * self.num_choices
+
+    def __getitem__(self, args):
+        idx, rng = args
+        i, c = divmod(idx, self.num_choices)
+        item = self.annotations[i]
+        objects = item["objects"]
+
+        from visualbert_tpu.data.masking import MLM_IGNORE, random_word
+
+        q_sub, q_align = render_tokens(item["question"], objects, self.tokenizer)
+        c_sub, c_align = render_tokens(item["choices"][c], objects, self.tokenizer)
+        q_sub, q_lbl = random_word(q_sub, self.tokenizer, rng, self.mask_prob)
+        c_sub, c_lbl = random_word(c_sub, self.tokenizer, rng, self.mask_prob)
+
+        T = self.max_seq_length
+        qa, qb = list(q_sub), list(c_sub)
+        la, lb = list(q_lbl), list(c_lbl)
+        aa, ab = list(q_align), list(c_align)
+        while len(qa) + len(qb) > T - 3:
+            if len(qa) > len(qb):
+                qa.pop(), la.pop(), aa.pop()
+            else:
+                qb.pop(), lb.pop(), ab.pop()
+        tokens = ["[CLS]"] + qa + ["[SEP]"] + qb + ["[SEP]"]
+        labels = [MLM_IGNORE] + la + [MLM_IGNORE] + lb + [MLM_IGNORE]
+        aligns = [[]] + aa + [[]] + ab + [[]]
+        segs = [0] * (len(qa) + 2) + [1] * (len(qb) + 1)
+
+        N, A = self.max_boxes, self.align_slots
+        ids = np.zeros((1, T), np.int32)
+        seg = np.zeros((1, T), np.int32)
+        mask = np.zeros((1, T), np.int32)
+        lm = np.full((1, T), MLM_IGNORE, np.int32)
+        alignment = np.full((1, N, A), -1, np.int32)
+        n = len(tokens)
+        ids[0, :n] = self.tokenizer.convert_tokens_to_ids(tokens)
+        seg[0, :n] = segs
+        mask[0, :n] = 1
+        lm[0, :n] = labels
+        slots_used = np.zeros(N, np.int32)
+        for pos, refs in enumerate(aligns):
+            for oi in refs:
+                if oi < N and slots_used[oi] < A:
+                    alignment[0, oi, slots_used[oi]] = pos
+                    slots_used[oi] += 1
+
+        pos = np.flatnonzero(lm[0] != MLM_IGNORE)[: self.n_mlm_predictions]
+        positions = np.zeros((1, self.n_mlm_predictions), np.int32)
+        positions[0, : len(pos)] = pos
+
+        img = self.images.get(str(item["image_id"]))
+        from visualbert_tpu.data.pipeline import pad_to
+
+        boxes = pad_to(np.asarray(img["boxes"], np.float32), N, axis=0)
+        classes = pad_to(np.asarray(img["classes"], np.int64).astype(np.int32), N, axis=0)
+        n_boxes = min(len(img["boxes"]), N)
+        box_mask = np.zeros(N, np.int32)
+        box_mask[:n_boxes] = 1
+        sample = {
+            "images": np.asarray(img["image"], np.float32),
+            "boxes": boxes,
+            "box_mask": box_mask,
+            "classes": classes,
+            "input_ids": ids,
+            "token_type_ids": seg,
+            "input_mask": mask,
+            "masked_lm_labels": lm,
+            "mlm_positions": positions,
+            "image_text_alignment": alignment,
+        }
+        if "segms" in img:
+            sample["segms"] = pad_to(np.asarray(img["segms"], np.float32), N, axis=0)
+        return sample
