@@ -11,7 +11,7 @@ tables are copied, the rest keep their fresh initialization.
 from __future__ import annotations
 
 import json
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 

@@ -13,7 +13,7 @@ objective (text_data.py:249-297) as seeded transforms.
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Sequence
 
 import numpy as np
 

@@ -24,14 +24,12 @@ frozen stats (the reference freezes detector BN during training —
 from __future__ import annotations
 
 import functools
-from typing import Any, Optional, Sequence
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from visualbert_tpu.config import VisualBertConfig
-from visualbert_tpu.models import losses
 from visualbert_tpu.ops.roi_align import roi_align
 
 Array = jax.Array

@@ -25,7 +25,7 @@ TPU-first design choices (no analogue in the reference):
 from __future__ import annotations
 
 import functools
-from typing import Any, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,7 @@ applied in ``model_wrapper.py:70-73``).
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,6 @@ identical by construction: fp32 stats, bf16 in/out).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -12,12 +12,11 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Any, Callable, Dict, Tuple
+from typing import Callable, Dict
 
 import jax
 import numpy as np
 
-from visualbert_tpu.config import VisualBertConfig
 from visualbert_tpu.data import pipeline
 from visualbert_tpu.data.pipeline import Batcher, prefetch
 from visualbert_tpu.data.tokenization import BertTokenizer
