@@ -32,10 +32,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
-
-
 def _keep_mask(shape, rate: float):
     """Dropout keep-mask from the already-seeded PRNG."""
     bits = pltpu.prng_random_bits(shape)
@@ -234,22 +230,16 @@ def flash_attention(
         # [B, T, H, D] → [B, H, T, D] for lane-aligned blocks
         q, k, v = (jnp.transpose(x, (0, 2, 1, 3)) for x in (q, k, v))
 
-    # pad T to the lane quantum so [T, T] scores tile cleanly
-    Tp = _round_up(T, 128)
-    if Tp != T:
-        pad = Tp - T
-        q = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
-        k = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
-        v = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
-        key_bias = jnp.pad(key_bias, ((0, 0), (0, pad)), constant_values=-10000.0)
+    # No T padding needed: each block spans the FULL (T, D) array dims, which
+    # satisfies Mosaic's tiling rule for any T; internal [T, T] values are
+    # padded by the compiler in-register, so arbitrary lengths (e.g. 228)
+    # run at the same speed as 128-aligned ones — measured identical.
 
     if seed is None:
         seed = jnp.zeros((), jnp.int32)
     seed = jnp.asarray(seed, jnp.int32).reshape((1,))
 
     out = _flash(q, k, v, key_bias, float(dropout_rate), seed)
-    if Tp != T:
-        out = out[:, :, :T]
     if not heads_major:
         out = jnp.transpose(out, (0, 2, 1, 3))
     return out
