@@ -138,8 +138,13 @@ def main():
     best = 0.0
     err = None
     # primary: unrolled layers (no scan residual-stacking copies) + fused
-    # attention kernel; fallback: scanned layers (fast compile)
-    for bs, flash, remat, scan in ((64, True, False, False), (64, True, False, True)):
+    # attention kernel at the best-measured batch; fallbacks shrink the
+    # batch, then revert to scanned layers (fast compile)
+    for bs, flash, remat, scan in (
+        (96, True, False, False),
+        (64, True, False, False),
+        (64, True, False, True),
+    ):
         try:
             v = measure(bs, use_flash=flash, remat=remat, scan_layers=scan)
             print(
