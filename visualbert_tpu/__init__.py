@@ -12,4 +12,29 @@ __version__ = "0.1.0"
 
 from visualbert_tpu.config import OptimizerConfig, TrainConfig, VisualBertConfig
 
-__all__ = ["VisualBertConfig", "OptimizerConfig", "TrainConfig"]
+
+def __getattr__(name):
+    """Lazy top-level API (keeps `import visualbert_tpu` light)."""
+    lazy = {
+        "VisualBertModel": ("visualbert_tpu.models.encoder", "VisualBertModel"),
+        "VisualBertForTask": ("visualbert_tpu.models.visualbert", "VisualBertForTask"),
+        "UnsupervisedVisualBert": ("visualbert_tpu.models.unsupervised", "UnsupervisedVisualBert"),
+        "Trainer": ("visualbert_tpu.train.trainer", "Trainer"),
+        "fit": ("visualbert_tpu.train.loop", "fit"),
+        "BertTokenizer": ("visualbert_tpu.data.tokenization", "BertTokenizer"),
+        "FastBertTokenizer": ("visualbert_tpu.data.fast_tokenizer", "FastBertTokenizer"),
+        "create_mesh": ("visualbert_tpu.parallel.mesh", "create_mesh"),
+    }
+    if name in lazy:
+        import importlib
+
+        module, attr = lazy[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(name)
+
+
+__all__ = [
+    "VisualBertConfig", "OptimizerConfig", "TrainConfig",
+    "VisualBertModel", "VisualBertForTask", "UnsupervisedVisualBert",
+    "Trainer", "fit", "BertTokenizer", "FastBertTokenizer", "create_mesh",
+]
