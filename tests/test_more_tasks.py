@@ -67,3 +67,22 @@ def test_coco_pretrain_task_smoke(tmp_path):
     state, result = registry.run(cfg)
     assert result.epochs_run == 1
     assert np.isfinite(result.history[0]["train_loss"])
+
+
+def test_text_pretrain_task(tmp_path):
+    cfg = parse_task_config({
+        "task": "text_pretrain",
+        "folder": str(tmp_path / "run"),
+        "data": {"synthetic": 64, "max_seq_length": 20},
+        "model": {
+            "vocab_size": 512, "hidden_size": 32, "num_hidden_layers": 1,
+            "num_attention_heads": 2, "intermediate_size": 64,
+            "max_position_embeddings": 32, "visual_embedding_dim": 32,
+            "dtype": "float32",
+        },
+        "optimizer": {"learning_rate": 1e-3, "schedule": "none", "t_total": -1},
+        "train": {"train_batch_size": 8, "num_train_epochs": 2, "log_every": 0},
+    })
+    state, result = registry.run(cfg)
+    assert result.epochs_run == 2
+    assert np.isfinite(result.history[-1]["train_loss"])

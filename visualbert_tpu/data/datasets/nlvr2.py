@@ -31,12 +31,16 @@ class NLVR2Dataset:
         *,
         max_seq_length: int = 128,
         max_regions_per_image: int = 72,  # reference image_feature_cap 144 total
+        screen_threshold: float = 0.2,
     ):
         self.annotations = annotations
         self.features = features
         self.tokenizer = tokenizer
         self.max_seq_length = max_seq_length
         self.max_regions_per_image = max_regions_per_image
+        # confidence screening when the store carries detector confidences
+        # (reference screens NLVR chunks, bert_data_utils.py:494-525)
+        self.screen_threshold = screen_threshold
 
     def __len__(self):
         return len(self.annotations)
@@ -49,8 +53,18 @@ class NLVR2Dataset:
         enc = assemble_pair(tokens, None, self.tokenizer, self.max_seq_length)
 
         cap = self.max_regions_per_image
-        f0 = self.features.get(str(item["img0"]))["features"]
-        f1 = self.features.get(str(item["img1"]))["features"]
+        r0 = self.features.get(str(item["img0"]))
+        r1 = self.features.get(str(item["img1"]))
+        from visualbert_tpu.data.features import screen_features
+
+        f0, _ = screen_features(
+            np.asarray(r0["features"]), r0.get("objects_conf"),
+            threshold=self.screen_threshold, max_cap=cap,
+        )
+        f1, _ = screen_features(
+            np.asarray(r1["features"]), r1.get("objects_conf"),
+            threshold=self.screen_threshold, max_cap=cap,
+        )
         v0, m0, _ = pad_regions(f0, cap)
         v1, m1, _ = pad_regions(f1, cap)
         visual = np.concatenate([v0, v1], axis=0)

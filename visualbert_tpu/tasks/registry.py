@@ -461,6 +461,33 @@ def run_unsup_pretrain(cfg: TaskConfig):
     return state, result
 
 
+@register("text_pretrain")
+def run_text_pretrain(cfg: TaskConfig):
+    """Text-only MLM pretraining over a packed corpus (the reference's
+    standalone BERTDataset path, fine_tuning.py:47-270, rebuilt on
+    PackedCorpus + whole-word masking)."""
+    from visualbert_tpu.data.text_corpus import PackedCorpus, TextOnlyDataset
+
+    tok = _tokenizer(cfg)
+    d = cfg.data
+    if "synthetic" in d:
+        words = [w for w in tok.vocab if not w.startswith("[")]
+        import numpy as _np
+
+        rng = _np.random.default_rng(0)
+        passages = []
+        for _ in range(int(d["synthetic"])):
+            w = words[int(rng.integers(len(words)))]
+            passages.append([" ".join([w] * 8) for _ in range(2)])
+        corpus = PackedCorpus.build(passages, tok)
+    else:
+        corpus = PackedCorpus.load(d["text_corpus"])
+    ds = TextOnlyDataset(corpus, tok, max_seq_length=int(d.get("max_seq_length", 64)))
+    model = VisualBertForTask(cfg.model, head_type="pretraining")
+    trainer = _trainer(cfg, model)
+    return _run_fit(cfg, trainer, ds, None, val_metric="loss")
+
+
 @register("unsup_vqa")
 def run_unsup_vqa(cfg: TaskConfig):
     from visualbert_tpu.data.datasets import unsup_vqa as uv
