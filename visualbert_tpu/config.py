@@ -77,6 +77,19 @@ class VisualBertConfig:
         return cls(**kw)
 
     @classmethod
+    def large(cls, **kw) -> "VisualBertConfig":
+        """bert-large geometry — not used by the reference configs, but the
+        scale where the TP mesh axis starts paying for itself."""
+        defaults = dict(
+            hidden_size=1024,
+            num_hidden_layers=24,
+            num_attention_heads=16,
+            intermediate_size=4096,
+        )
+        defaults.update(kw)
+        return cls(**defaults)
+
+    @classmethod
     def tiny(cls, **kw) -> "VisualBertConfig":
         """A small config for CPU tests."""
         defaults = dict(

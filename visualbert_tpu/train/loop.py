@@ -109,7 +109,17 @@ def _fit_epochs(trainer, state, train_data, eval_data, cfg, ckpt, key,
         n_batches = 0
         for batch in train_data(epoch):
             bs = len(next(iter(batch.values())))
-            state, metrics = step_fn(state, trainer.shard_batch(batch), key)
+            accum = cfg.gradient_accumulation_steps
+            if accum > 1:
+                # split the global batch into [accum, micro, ...] for the
+                # in-step lax.scan accumulation (train/trainer.py)
+                batch = {
+                    k: v.reshape((accum, bs // accum) + v.shape[1:])
+                    for k, v in batch.items()
+                }
+            state, metrics = step_fn(
+                state, trainer.shard_batch(batch, stacked=accum > 1), key
+            )
             acc.update(metrics, bs)
             n_batches += 1
             if cfg.log_every and n_batches % cfg.log_every == 0:

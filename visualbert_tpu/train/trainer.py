@@ -237,8 +237,11 @@ class Trainer:
 
     # ---- data placement ----
 
-    def shard_batch(self, batch: Dict[str, np.ndarray]):
-        sharding = NamedSharding(self.mesh, P("data"))
+    def shard_batch(self, batch: Dict[str, np.ndarray], stacked: bool = False):
+        """stacked=True for [accum, micro, ...] microbatch stacks — the batch
+        axis to shard over 'data' is then axis 1."""
+        spec = P(None, "data") if stacked else P("data")
+        sharding = NamedSharding(self.mesh, spec)
 
         def put(x):
             x = np.asarray(x)
