@@ -253,3 +253,11 @@ def test_image_folder_store(tmp_path, rng):
 
     prep = prepare_image(str(tmp_path / "x.jpg"), target=64, pad_square=False)
     assert prep["image"].shape[0] == 48  # 60*0.8
+
+
+def test_params_summary():
+    from visualbert_tpu.utils.logging import params_summary
+
+    params = {"a": {"w": np.zeros((2, 3))}, "b": np.zeros(5)}
+    s = params_summary(params)
+    assert "a/w" in s and "TOTAL" in s and "11" in s

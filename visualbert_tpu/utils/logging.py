@@ -39,3 +39,31 @@ def add_run_folder(folder: str) -> str:
     )
     logging.getLogger("visualbert_tpu").addHandler(handler)
     return path
+
+
+def params_summary(params, max_rows: int = 0) -> str:
+    """Human-readable parameter table + total count (the reference's
+    ``print_para``, pytorch_misc.py:346-360)."""
+    import numpy as np
+
+    rows = []
+    total = 0
+
+    def walk(tree, path):
+        nonlocal total
+        if isinstance(tree, dict):
+            for k in sorted(tree):
+                walk(tree[k], path + (k,))
+            return
+        arr = getattr(tree, "value", tree)
+        n = int(np.prod(arr.shape)) if arr.shape else 1
+        total += n
+        rows.append(("/".join(path), tuple(arr.shape), n))
+
+    walk(params, ())
+    shown = rows if not max_rows else rows[:max_rows]
+    lines = [f"{name:<70} {str(shape):<24} {n:>12,}" for name, shape, n in shown]
+    if max_rows and len(rows) > max_rows:
+        lines.append(f"... {len(rows) - max_rows} more")
+    lines.append(f"{'TOTAL':<70} {'':<24} {total:>12,}")
+    return "\n".join(lines)
