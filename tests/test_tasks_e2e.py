@@ -152,3 +152,37 @@ def test_checkpoint_roundtrip(tok, tmp_path):
     assert mgr.latest_step() == 1
     restored_best = mgr.restore(state, best=True)
     assert int(jax.device_get(restored_best.step)) == 1
+
+
+def test_resume_training_continuity(tok, tmp_path):
+    """Checkpoint → restore → continue: the restored run's next loss matches
+    continuing the original run (state fully captured incl. optimizer)."""
+    from visualbert_tpu.utils.checkpoint import CheckpointManager
+
+    ann, feats, vocab = vqa_ds.make_synthetic(64, tok, n_answers=8, feat_dim=FEAT_DIM)
+    ds = vqa_ds.VQADataset(ann, feats, tok, vocab, max_seq_length=16, max_regions=10)
+    model = VisualBertForTask(tiny_cfg(), head_type="vqa", num_answers=8)
+    trainer = make_trainer(model)
+    b = Batcher(ds, 16, seed=3)
+    batches = list(b.epoch(0))
+    state = trainer.init_state(jax.random.PRNGKey(0), batches[0])
+    step = trainer.train_step_fn()
+    key = jax.random.PRNGKey(7)
+
+    state, _ = step(state, trainer.shard_batch(batches[0]), key)
+    mgr = CheckpointManager(str(tmp_path / "ck"))
+    mgr.save(1, state)
+
+    state, m_cont = step(state, trainer.shard_batch(batches[1]), key)
+
+    restored = mgr.restore(jax.tree.map(np.asarray, state))
+    # fresh trainer/step (as a new process would build)
+    trainer2 = make_trainer(model)
+    trainer2.init_state(jax.random.PRNGKey(0), batches[0])  # builds specs
+    step2 = trainer2.train_step_fn()
+    import jax.numpy as jnp
+    restored = jax.tree.map(jnp.asarray, restored)
+    _, m_res = step2(restored, trainer2.shard_batch(batches[1]), key)
+    np.testing.assert_allclose(
+        float(m_cont["loss"]), float(m_res["loss"]), rtol=1e-5
+    )

@@ -184,7 +184,21 @@ def frozen_mask(params, frozen_substrings) -> Any:
     return walk(params, ())
 
 
-def from_config(opt_cfg: OptimizerConfig, decay_mask=default_decay_mask) -> optax.GradientTransformation:
+def from_config(opt_cfg: OptimizerConfig, decay_mask=None) -> optax.GradientTransformation:
+    if decay_mask is None:
+        extra = tuple(s.lower() for s in opt_cfg.no_decay)
+
+        def decay_mask(params):
+            base = default_decay_mask(params)
+
+            def walk(tree, mask, path):
+                if isinstance(tree, dict):
+                    return {k: walk(v, mask[k], path + (k,)) for k, v in tree.items()}
+                joined = "/".join(str(p) for p in path).lower()
+                return mask and not any(s in joined for s in extra)
+
+            return walk(params, base, ())
+
     tx = bert_adam(
         learning_rate=opt_cfg.learning_rate,
         schedule=opt_cfg.schedule,
