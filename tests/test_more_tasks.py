@@ -86,3 +86,46 @@ def test_text_pretrain_task(tmp_path):
     state, result = registry.run(cfg)
     assert result.epochs_run == 2
     assert np.isfinite(result.history[-1]["train_loss"])
+
+
+def test_unsup_pretrain_hybrid_task(tmp_path):
+    """unsup_pretrain through the registry with a packed text corpus mixed in
+    (hybrid single-source batches, two compiled shapes)."""
+    from visualbert_tpu.data.text_corpus import PackedCorpus
+    from visualbert_tpu.data.tokenization import BertTokenizer
+
+    words = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]", "?"] + [
+        f"w{i}" for i in range(100)
+    ]
+    tok = BertTokenizer({w: i for i, w in enumerate(words)})
+    passages = [[f"w{i} w{i+1} w{i+2} w{i+3}"] for i in range(40)]
+    corpus_path = str(tmp_path / "corpus.npz")
+    PackedCorpus.build(passages, tok).save(corpus_path)
+
+    cfg = parse_task_config({
+        "task": "unsup_pretrain",
+        "folder": str(tmp_path / "run"),
+        "data": {
+            "synthetic": 48, "max_seq_length": 12, "n_regions": 6,
+            "text_corpus": corpus_path, "text_ratio": 1.0,
+            "text_seq_length": 12,
+        },
+        "model": {
+            "vocab_size": 512, "hidden_size": 32, "num_hidden_layers": 1,
+            "num_attention_heads": 2, "intermediate_size": 64,
+            "max_position_embeddings": 32, "visual_embedding_dim": 16,
+            "hidden_dropout_prob": 0.0, "attention_probs_dropout_prob": 0.0,
+            "dtype": "float32",
+        },
+        "optimizer": {"learning_rate": 5e-4, "schedule": "none", "t_total": -1},
+        "train": {"train_batch_size": 8, "num_train_epochs": 2, "log_every": 0},
+    })
+    state, result = registry.run(cfg)
+    assert result.epochs_run == 2
+    assert np.isfinite(result.history[-1]["train_loss"])
+    # both V&L and text-only losses were seen
+    keys = set()
+    for h in result.history:
+        keys.update(h)
+    assert "train_masked_lm_loss" in keys
+    assert "train_obj_loss" in keys  # V&L batches contributed
