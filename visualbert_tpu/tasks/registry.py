@@ -17,7 +17,6 @@ from typing import Callable, Dict
 import jax
 import numpy as np
 
-from visualbert_tpu.data import pipeline
 from visualbert_tpu.data.pipeline import Batcher, prefetch
 from visualbert_tpu.data.tokenization import BertTokenizer
 from visualbert_tpu.models.visualbert import VisualBertForTask
