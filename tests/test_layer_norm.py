@@ -69,3 +69,26 @@ def test_model_parity_with_fused_ln(rng):
     s1, p1, _ = m1.apply({"params": params}, ids, None, None, vis, None, None)
     s2, p2, _ = m2.apply({"params": params}, ids, None, None, vis, None, None)
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-5, rtol=1e-5)
+
+
+def test_fused_dropout_add_ln_rate0_matches(rng):
+    """rate=0 path of the dropout-fused epilogue == plain fused add+LN."""
+    import jax.numpy as jnp
+
+    from visualbert_tpu.ops.layer_norm import (
+        fused_dropout_add_layer_norm,
+        reference_add_layer_norm,
+    )
+
+    x = jnp.asarray(rng.randn(16, 64), jnp.float32)
+    r = jnp.asarray(rng.randn(16, 64), jnp.float32)
+    scale = jnp.asarray(rng.rand(64) + 0.5, jnp.float32)
+    bias = jnp.asarray(rng.randn(64) * 0.1, jnp.float32)
+    seed = jnp.asarray([3], jnp.int32)
+    out = fused_dropout_add_layer_norm(x, r, scale, bias, seed, 0.0)
+    ref = reference_add_layer_norm(x, r, scale, bias)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    g = jax.grad(lambda x: (fused_dropout_add_layer_norm(x, r, scale, bias, seed, 0.0) ** 2).sum())(x)
+    gr = jax.grad(lambda x: (reference_add_layer_norm(x, r, scale, bias) ** 2).sum())(x)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gr), atol=2e-4, rtol=1e-3)

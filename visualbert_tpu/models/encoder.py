@@ -186,14 +186,16 @@ class SelfAttention(nn.Module):
 
 
 class ResidualNorm(nn.Module):
-    """LayerNorm(x + residual) — fused Pallas kernel (the apex
-    FusedLayerNorm analogue, reference modeling.py:158-162) or identical
-    two-pass fp32 XLA math."""
+    """``LayerNorm(dropout(x) + residual)`` — the sublayer epilogue
+    (reference modeling.py:271-276/312-318 + apex FusedLayerNorm,
+    modeling.py:158-162). With ``use_fused_layer_norm`` the whole epilogue
+    (PRNG dropout, add, fp32 stats, affine) runs as ONE Pallas VMEM pass
+    with a recompute VJP; otherwise identical two-pass fp32 XLA math."""
 
     config: VisualBertConfig
 
     @nn.compact
-    def __call__(self, x: Array, res: Array) -> Array:
+    def __call__(self, x: Array, res: Array, deterministic: bool = True) -> Array:
         cfg = self.config
         scale = self.param(
             "scale", nn.initializers.ones_init(), (cfg.hidden_size,), cfg.param_dtype
@@ -201,13 +203,24 @@ class ResidualNorm(nn.Module):
         bias = self.param(
             "bias", nn.initializers.zeros_init(), (cfg.hidden_size,), cfg.param_dtype
         )
+        rate = 0.0 if deterministic else cfg.hidden_dropout_prob
         from visualbert_tpu.ops.layer_norm import (
             fused_add_layer_norm,
+            fused_dropout_add_layer_norm,
             reference_add_layer_norm,
         )
 
         if cfg.use_fused_layer_norm:
+            if rate > 0.0:
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (1,), 0, 2**31 - 1, dtype=jnp.int32
+                )
+                return fused_dropout_add_layer_norm(
+                    x, res, scale, bias, seed, rate, cfg.layer_norm_eps
+                )
             return fused_add_layer_norm(x, res, scale, bias, cfg.layer_norm_eps)
+        if rate > 0.0:
+            x = nn.Dropout(rate=cfg.hidden_dropout_prob)(x, deterministic=False)
         return reference_add_layer_norm(x, res, scale, bias, cfg.layer_norm_eps)
 
 
@@ -227,13 +240,14 @@ class TransformerLayer(nn.Module):
     ):
         cfg = self.config
         init = truncated_normal_init(cfg.initializer_range)
-        dropout = nn.Dropout(rate=cfg.hidden_dropout_prob)
 
         attn_out, probs = SelfAttention(cfg, name="attention")(
             hidden, attn_bias, deterministic, output_probs
         )
-        attn_out = dropout(attn_out, deterministic=deterministic)
-        hidden = ResidualNorm(cfg, name="attention_norm")(attn_out, hidden)
+        # dropout is fused into the ResidualNorm epilogue
+        hidden = ResidualNorm(cfg, name="attention_norm")(
+            attn_out, hidden, deterministic=deterministic
+        )
 
         ffn = nn.Dense(
             cfg.intermediate_size,
@@ -253,8 +267,9 @@ class TransformerLayer(nn.Module):
             bias_init=nn.with_partitioning(nn.initializers.zeros_init(), ("embed",)),
             name="output",
         )(ffn)
-        ffn = dropout(ffn, deterministic=deterministic)
-        hidden = ResidualNorm(cfg, name="output_norm")(ffn, hidden)
+        hidden = ResidualNorm(cfg, name="output_norm")(
+            ffn, hidden, deterministic=deterministic
+        )
         return hidden, probs
 
 
