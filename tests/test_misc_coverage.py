@@ -1,0 +1,120 @@
+"""Coverage for smaller paths: export unrolled layout, prefetch error
+propagation, Batcher pad_final, StepTimer, screen_features, ConcatFeatures,
+truncate_front, logging tee."""
+
+import time
+
+import numpy as np
+import pytest
+
+from visualbert_tpu.data.features import ChunkFeatures, ConcatFeatures, screen_features
+from visualbert_tpu.data.masking import truncate_front
+from visualbert_tpu.data.pipeline import Batcher, prefetch
+from visualbert_tpu.utils.profiling import StepTimer
+
+
+def test_screen_features():
+    feats = np.arange(10)[:, None].astype(np.float32)
+    conf = np.array([0.9, 0.1, 0.5, 0.05, 0.8, 0.3, 0.15, 0.25, 0.6, 0.01])
+    out, oc = screen_features(feats, conf, threshold=0.2, max_cap=4)
+    # sorted by confidence desc, conf >= 0.2, capped at 4
+    assert list(out[:, 0]) == [0, 4, 8, 2]
+    assert (oc >= 0.2).all()
+    # min_count kicks in when nothing passes
+    out2, oc2 = screen_features(feats, conf * 0.01, threshold=0.2, max_cap=4, min_count=2)
+    assert out2.shape[0] == 2
+    # no confidences → plain cap
+    out3, oc3 = screen_features(feats, None, max_cap=3)
+    assert out3.shape[0] == 3 and oc3 is None
+
+
+def test_concat_features():
+    a = ChunkFeatures({"x": {"features": np.ones((2, 3))}})
+    b = ChunkFeatures({"y": {"features": np.zeros((2, 3))}})
+    c = ConcatFeatures([a, b])
+    assert "x" in c and "y" in c and "z" not in c
+    assert c.get("y")["features"].sum() == 0
+    with pytest.raises(KeyError):
+        c.get("z")
+
+
+def test_truncate_front():
+    assert truncate_front(list("abcdef"), 3) == list("def")
+    assert truncate_front(list("ab"), 3) == list("ab")
+
+
+def test_prefetch_propagates_errors():
+    def gen():
+        yield 1
+        raise RuntimeError("boom")
+
+    it = prefetch(gen(), size=1)
+    assert next(it) == 1
+    with pytest.raises(RuntimeError, match="boom"):
+        list(it)
+
+
+def test_batcher_pad_final():
+    class DS:
+        def __len__(self):
+            return 10
+
+        def __getitem__(self, args):
+            i, _ = args
+            return {"x": np.int64(i)}
+
+    b = Batcher(DS(), 4, shuffle=False, drop_last=False, pad_final=True)
+    batches = list(b.epoch(0))
+    assert len(batches) == 3
+    assert all(len(batch["x"]) == 4 for batch in batches)
+    # final batch padded by repeating its own indices
+    assert set(batches[2]["x"][:2]) == {8, 9}
+
+
+def test_step_timer():
+    t = StepTimer(reset_every=100)
+    for _ in range(3):
+        t.step(8)
+        time.sleep(0.01)
+    assert t.sec_per_step > 0
+    assert t.examples_per_sec > 0
+
+
+def test_export_unrolled_layout(rng):
+    """export_state_dict handles the unrolled (layer_i) param layout too."""
+    import jax
+    import jax.numpy as jnp
+
+    from visualbert_tpu.config import VisualBertConfig
+    from visualbert_tpu.models.encoder import VisualBertModel
+    from visualbert_tpu.tools.export_torch import export_state_dict
+    from visualbert_tpu.tools.params import unstack_layers
+    from visualbert_tpu.train.trainer import unbox
+
+    cfg = VisualBertConfig.tiny(visual_embedding_dim=8)
+    model = VisualBertModel(cfg)
+    ids = jnp.asarray(rng.randint(0, cfg.vocab_size, (1, 6)), jnp.int32)
+    vis = jnp.asarray(rng.randn(1, 3, 8), jnp.float32)
+    params = unbox(model.init(jax.random.PRNGKey(0), ids, None, None, vis, None, None)["params"])
+
+    sd_stacked = export_state_dict({"bert": params}, cfg)
+    sd_unrolled = export_state_dict({"bert": unstack_layers(params)}, cfg)
+    assert set(sd_stacked) == set(sd_unrolled)
+    for k in sd_stacked:
+        np.testing.assert_array_equal(sd_stacked[k], sd_unrolled[k])
+
+
+def test_run_folder_tee(tmp_path):
+    from visualbert_tpu.utils.logging import add_run_folder, get_logger
+
+    path = add_run_folder(str(tmp_path))
+    log = get_logger("visualbert_tpu.test")
+    log.info("hello-tee")
+    import logging
+
+    for h in logging.getLogger("visualbert_tpu").handlers:
+        h.flush()
+    assert "hello-tee" in open(path).read()
+    # second run gets a new file
+    path2 = add_run_folder(str(tmp_path))
+    assert path2 != path
