@@ -82,3 +82,28 @@ def test_cli_eval_only_nlvr(tmp_path):
     assert report.exists()
     assert "official_accuracy" in result.history[0]
     assert "consistency" in result.history[0]
+
+
+def test_cli_restore_orbax_eval_only(tmp_path):
+    """Train → checkpoint → fresh eval_only run restoring the checkpoint
+    reproduces the trained accuracy (exercises registry._restore orbax)."""
+    import dataclasses
+
+    from visualbert_tpu.tasks import registry
+    from visualbert_tpu.utils.config_io import load_task_config
+
+    cfg = load_task_config(
+        "configs/vqa_synth.json", overrides={"folder": str(tmp_path / "run")}
+    )
+    state, result = registry.run(cfg)
+    assert result.best_metric > 0.25
+
+    cfg2 = dataclasses.replace(
+        cfg,
+        folder=str(tmp_path / "eval"),
+        eval_only=True,
+        restore_checkpoint=str(tmp_path / "run" / "ckpt"),
+    )
+    state2, result2 = registry.run(cfg2)
+    # restored model evaluates at (or above) the stored epoch's quality
+    assert result2.best_metric > 0.25, result2.history
