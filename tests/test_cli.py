@@ -107,3 +107,48 @@ def test_cli_restore_orbax_eval_only(tmp_path):
     state2, result2 = registry.run(cfg2)
     # restored model evaluates at (or above) the stored epoch's quality
     assert result2.best_metric > 0.25, result2.history
+
+
+def test_cli_restore_torch_checkpoint(tmp_path):
+    """registry._restore torch branch: a .th file (reference layout) loads
+    through load_torch_file → convert → merge and changes the params."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+    import pytest
+
+    torch = pytest.importorskip("torch")
+
+    from visualbert_tpu.tasks import registry
+    from visualbert_tpu.tools.export_torch import export_state_dict
+    from visualbert_tpu.train.trainer import unbox
+    from visualbert_tpu.utils.config_io import load_task_config
+    from visualbert_tpu.models.encoder import VisualBertModel
+
+    cfg = load_task_config(
+        "configs/vqa_synth.json", overrides={"folder": str(tmp_path / "run")}
+    )
+    # fabricate a reference-layout .th for the same geometry
+    model = VisualBertModel(cfg.model)
+    import jax.numpy as jnp
+
+    ids = jnp.zeros((1, 4), jnp.int32)
+    vis = jnp.zeros((1, 2, cfg.model.visual_embedding_dim), jnp.float32)
+    params = unbox(model.init(jax.random.PRNGKey(42), ids, None, None, vis, None, None)["params"])
+    sd = export_state_dict({"bert": params}, cfg.model, prefix="bert.")
+    th_path = str(tmp_path / "warm.th")
+    torch.save({k: torch.tensor(v) for k, v in sd.items()}, th_path)
+
+    cfg2 = dataclasses.replace(
+        cfg,
+        folder=str(tmp_path / "warm_run"),
+        eval_only=True,
+        restore_checkpoint=th_path,
+    )
+    state, result = registry.run(cfg2)
+    # trunk params equal the fabricated checkpoint exactly
+    we = np.asarray(
+        jax.device_get(state.params["bert"]["embeddings"]["word_embeddings"]["embedding"])
+    )
+    np.testing.assert_array_equal(we, sd["bert.embeddings.word_embeddings.weight"])
