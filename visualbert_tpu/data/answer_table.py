@@ -15,17 +15,29 @@ from typing import Dict, Optional, Sequence
 
 import numpy as np
 
-# normalization applied before matching answers (qa_answer_table.py:19-37)
-_NORMALIZE = {
-    "aren't": "arent", "can't": "cant", "couldn't": "couldnt",
-    "don't": "dont", "doesn't": "doesnt", "isn't": "isnt",
-    "it's": "its", "won't": "wont", "wouldn't": "wouldnt",
+# normalization applied before matching answers — the reference's
+# ``AnswerTable.convert_ans`` (qa_answer_table.py:9-63): lowercase, strip a
+# trailing period and leading articles, canonical digits, grey→gray
+_ANS_CONVERT = {
+    "a man": "man", "the man": "man",
+    "a woman": "woman", "the woman": "woman",
+    "one": "1", "two": "2", "three": "3", "four": "4", "five": "5",
+    "six": "6", "seven": "7", "eight": "8", "nine": "9", "ten": "10",
+    "grey": "gray",
 }
 
 
 def normalize_answer(ans: str) -> str:
-    ans = ans.strip().lower()
-    return _NORMALIZE.get(ans, ans)
+    if not ans:
+        return ""
+    ans = ans.lower()
+    if ans.endswith("."):
+        ans = ans[:-1].strip()
+    for art in ("a ", "an ", "the "):
+        if ans.startswith(art):
+            ans = ans[len(art):].strip()
+            break
+    return _ANS_CONVERT.get(ans, ans)
 
 
 class AnswerTable:
@@ -58,8 +70,11 @@ def remap_answer_head(
     dst_table: AnswerTable,
     dst_kernel: np.ndarray,   # [hidden, n_dst] freshly-initialized
     dst_bias: np.ndarray,
+    zero_unmatched: bool = True,
 ) -> Dict[str, np.ndarray]:
-    """Copy per-answer rows matched by string; count reported for logging."""
+    """Copy per-answer rows matched by string; unmatched rows are ZEROED
+    (reference qa_answer_table.py:139-143), unless ``zero_unmatched=False``
+    keeps their fresh initialization."""
     out_k = np.array(dst_kernel)
     out_b = np.array(dst_bias)
     n_copied = 0
@@ -69,4 +84,7 @@ def remap_answer_head(
             out_k[:, dst_i] = kernel[:, src_i]
             out_b[dst_i] = bias[src_i]
             n_copied += 1
+        elif zero_unmatched:
+            out_k[:, dst_i] = 0.0
+            out_b[dst_i] = 0.0
     return {"kernel": out_k, "bias": out_b, "n_copied": n_copied}

@@ -61,6 +61,11 @@ class UnsupervisedConfig:
     task_qa: bool = False
     joint_layer_norm: bool = False
     divide_by_2: bool = True
+    # Reference ``use_bert_input_for_tags`` (modeling.py:583-586, 1440-1446;
+    # set in configs/pretrain/unsupervised.json): tags are embedded with the
+    # WORD table and the masked-tag objective reuses the MLM ``cls`` head over
+    # the 30522-way wordpiece vocab instead of the 2003-way symbolic head.
+    use_bert_input_for_tags: bool = False
 
     def replace(self, **kw):
         return dataclasses.replace(self, **kw)
@@ -126,7 +131,10 @@ class ThreeStreamEmbeddings(nn.Module):
             parts.append(text)
 
         if visual_tags is not None:
-            tag = self.symbolic_embedding(visual_tags)
+            if ucfg.use_bert_input_for_tags:
+                tag = self.word_embeddings(visual_tags)  # modeling.py:583-584
+            else:
+                tag = self.symbolic_embedding(visual_tags)
             box = self.box_fc(visual_tags_box.astype(cfg.dtype))
             if not ucfg.joint_layer_norm:
                 tag = self.tag_norm(tag).astype(cfg.dtype)
@@ -214,12 +222,30 @@ class UnsupervisedVisualBert(nn.Module):
         self.encoder = TransformerEncoder(cfg, name="encoder")
         self.pooler = Pooler(cfg, name="pooler")
         self.mlm_transform = MLMTransform(cfg, name="mlm_transform")
+        # output-only decoder bias of the tied MLM head (reference
+        # BertLMPredictionHead.bias, modeling.py:948 — trained, so required
+        # for checkpoint parity)
+        self.mlm_bias = self.param(
+            "mlm_bias",
+            nn.with_partitioning(nn.initializers.zeros_init(), ("vocab",)),
+            (cfg.vocab_size,),
+            cfg.param_dtype,
+        )
         self.seq_relationship = nn.Dense(
             2, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="seq_relationship"
         )
         if ucfg.task_obj_predict:
             self.obj_head = VisualObjHead(ucfg, name="obj_head")
-            self.tag_transform = MLMTransform(cfg, name="tag_transform")
+            if not ucfg.use_bert_input_for_tags:
+                # symbolic_head (deepcopy of cls, modeling.py:1333-1337):
+                # its own transform + bias, decoder tied to symbolic table
+                self.tag_transform = MLMTransform(cfg, name="tag_transform")
+                self.tag_bias = self.param(
+                    "tag_bias",
+                    nn.with_partitioning(nn.initializers.zeros_init(), ("vocab",)),
+                    (ucfg.symbolic_vocab_size,),
+                    cfg.param_dtype,
+                )
         if ucfg.task_qa:
             self.answer_head = AnswerHead(ucfg, name="answer_head")
 
@@ -263,12 +289,18 @@ class UnsupervisedVisualBert(nn.Module):
         total = 0.0
 
         word_emb = self.embeddings.word_embeddings.embedding
-        if lang_out is not None:
-            transformed = self.mlm_transform(lang_out)
-            mlm_logits = jnp.einsum(
+
+        def mlm_head(hidden):
+            """Tied-decoder MLM head + trained output bias
+            (BertLMPredictionHead.forward, modeling.py:950-953)."""
+            transformed = self.mlm_transform(hidden)
+            return jnp.einsum(
                 "bth,vh->btv", transformed, word_emb.astype(cfg.dtype),
                 preferred_element_type=jnp.float32,
-            )
+            ) + self.mlm_bias.astype(jnp.float32)
+
+        if lang_out is not None:
+            mlm_logits = mlm_head(lang_out)
             matched_logits = self.seq_relationship(pooled).astype(jnp.float32)
             out["mlm_logits"] = mlm_logits
             out["matched_logits"] = matched_logits
@@ -315,12 +347,17 @@ class UnsupervisedVisualBert(nn.Module):
             and tags_out is not None
             and batch.get("visual_tags_objective") is not None
         ):
-            sym_emb = self.embeddings.symbolic_embedding.embedding
-            tag_h = self.tag_transform(tags_out)
-            tag_logits = jnp.einsum(
-                "bth,vh->btv", tag_h, sym_emb.astype(cfg.dtype),
-                preferred_element_type=jnp.float32,
-            )
+            if ucfg.use_bert_input_for_tags:
+                # reference routes tags through the SAME cls head over the
+                # word vocab (modeling.py:1440-1446); labels are wordpiece ids
+                tag_logits = mlm_head(tags_out)
+            else:
+                sym_emb = self.embeddings.symbolic_embedding.embedding
+                tag_h = self.tag_transform(tags_out)
+                tag_logits = jnp.einsum(
+                    "bth,vh->btv", tag_h, sym_emb.astype(cfg.dtype),
+                    preferred_element_type=jnp.float32,
+                ) + self.tag_bias.astype(jnp.float32)
             l = losses.cross_entropy_ignore_index(tag_logits, batch["visual_tags_objective"])
             out["masked_tag_loss"] = l
             total = total + l

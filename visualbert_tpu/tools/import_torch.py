@@ -194,6 +194,190 @@ def convert_state_dict(
     return out
 
 
+def convert_lxrt_state_dict(flat: Dict[str, np.ndarray], ucfg, dtype=np.float32) -> Dict:
+    """Convert a reference LXRT/unsupervised-VisualBERT checkpoint
+    (``<name>_LXRT.pth``, saved by lxmert_pretrain.py:443-449) into the
+    ``UnsupervisedVisualBert`` param tree.
+
+    Name map (reference ``src/lxrt/modeling.py``):
+      bert.embeddings.{word,position,token_type}_embeddings.weight  (:503-505)
+      bert.embeddings.LayerNorm → embeddings.text_norm              (:509)
+      bert.embeddings.symbolic_embedding                            (:513)
+      bert.embeddings.{visn_fc,visn_layer_norm,box_fc,box_layer_norm,
+                       tag_layer_norm}                              (:524-536)
+      bert.encoder.layer.{i}.* (visualbert_style BertLayer stack)   (:784-786)
+      bert.pooler.dense                                             (:493-496)
+      cls.predictions.{transform,bias} + cls.seq_relationship       (:999-1017)
+      obj_predict_head.{transform,decoder_dict.{obj,attr,feat}}     (:971-996)
+      symbolic_head.predictions.{transform,bias}                    (:1330-1337)
+      answer_head.logit_fc.{0,2,3}                                  (:956-968)
+
+    Tied decoder weights (cls.predictions.decoder.weight,
+    symbolic_head...decoder.weight) are dropped — the tie is structural on
+    our side. ``ucfg`` is an ``UnsupervisedConfig``; the encoder stack is
+    emitted stacked (scan layout) or per-layer to match ``bert.scan_layers``.
+    """
+    # Only gamma/beta + DataParallel prefixes; the HF aliases in _ALIASES
+    # would mangle LXRT's cls.predictions.transform naming.
+    norm = lambda k: re.sub(r"\.beta$", ".bias", re.sub(r"\.gamma$", ".weight",
+                            re.sub(r"^module\.", "", k)))
+    flat = {norm(k): np.asarray(v, dtype=dtype) for k, v in flat.items()}
+    cfg = ucfg.bert
+    H, nh, hd, L = cfg.hidden_size, cfg.num_attention_heads, cfg.head_dim, cfg.num_hidden_layers
+
+    out: Dict = {}
+
+    def put(path, value):
+        node = out
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = value
+
+    def linear(prefix, dst):
+        if prefix + ".weight" in flat:
+            put(dst + ("kernel",), flat[prefix + ".weight"].T)
+            put(dst + ("bias",), flat[prefix + ".bias"])
+
+    def lnorm(prefix, dst):
+        if prefix + ".weight" in flat:
+            put(dst + ("scale",), flat[prefix + ".weight"])
+            put(dst + ("bias",), flat[prefix + ".bias"])
+
+    # --- embeddings ---
+    E = "bert.embeddings."
+    for name in ("word_embeddings", "position_embeddings",
+                 "token_type_embeddings", "symbolic_embedding"):
+        if E + name + ".weight" in flat:
+            put(("embeddings", name, "embedding"), flat[E + name + ".weight"])
+    linear(E + "visn_fc", ("embeddings", "visn_fc"))
+    linear(E + "box_fc", ("embeddings", "box_fc"))
+    lnorm(E + "LayerNorm", ("embeddings", "text_norm"))
+    lnorm(E + "visn_layer_norm", ("embeddings", "visn_norm"))
+    lnorm(E + "box_layer_norm", ("embeddings", "box_norm"))
+    lnorm(E + "tag_layer_norm", ("embeddings", "tag_norm"))
+
+    # --- encoder (BertLayer naming identical to the visualbert stack) ---
+    if "bert.encoder.layer.0.attention.self.query.weight" in flat:
+        stacks: Dict[tuple, list] = {}
+        for i in range(L):
+            pref = f"bert.encoder.layer.{i}"
+            ws, bs = [], []
+            for name in ("query", "key", "value"):
+                w = flat[f"{pref}.attention.self.{name}.weight"].T
+                b = flat[f"{pref}.attention.self.{name}.bias"]
+                ws.append(w.reshape(H, nh, hd))
+                bs.append(b.reshape(nh, hd))
+            layer = {
+                ("attention", "qkv", "kernel"): np.stack(ws, axis=1),
+                ("attention", "qkv", "bias"): np.stack(bs, axis=0),
+                ("attention", "out", "kernel"):
+                    flat[f"{pref}.attention.output.dense.weight"].T.reshape(nh, hd, H),
+                ("attention", "out", "bias"): flat[f"{pref}.attention.output.dense.bias"],
+                ("attention_norm", "scale"): flat[f"{pref}.attention.output.LayerNorm.weight"],
+                ("attention_norm", "bias"): flat[f"{pref}.attention.output.LayerNorm.bias"],
+                ("intermediate", "kernel"): flat[f"{pref}.intermediate.dense.weight"].T,
+                ("intermediate", "bias"): flat[f"{pref}.intermediate.dense.bias"],
+                ("output", "kernel"): flat[f"{pref}.output.dense.weight"].T,
+                ("output", "bias"): flat[f"{pref}.output.dense.bias"],
+                ("output_norm", "scale"): flat[f"{pref}.output.LayerNorm.weight"],
+                ("output_norm", "bias"): flat[f"{pref}.output.LayerNorm.bias"],
+            }
+            for path, val in layer.items():
+                stacks.setdefault(path, []).append(val)
+        if getattr(cfg, "scan_layers", True):
+            for path, vals in stacks.items():
+                put(("encoder", "layers") + path, np.stack(vals, axis=0))
+        else:
+            for path, vals in stacks.items():
+                for i, v in enumerate(vals):
+                    put(("encoder", f"layer_{i}") + path, v)
+
+    # --- pooler / pretraining heads ---
+    linear("bert.pooler.dense", ("pooler", "dense"))
+    linear("cls.predictions.transform.dense", ("mlm_transform", "dense"))
+    lnorm("cls.predictions.transform.LayerNorm", ("mlm_transform", "norm"))
+    if "cls.predictions.bias" in flat:
+        put(("mlm_bias",), flat["cls.predictions.bias"])
+    linear("cls.seq_relationship", ("seq_relationship",))
+
+    linear("obj_predict_head.transform.dense", ("obj_head", "transform", "dense"))
+    lnorm("obj_predict_head.transform.LayerNorm", ("obj_head", "transform", "norm"))
+    for key in ("obj", "attr", "feat"):
+        linear(f"obj_predict_head.decoder_dict.{key}", ("obj_head", key))
+
+    linear("symbolic_head.predictions.transform.dense", ("tag_transform", "dense"))
+    lnorm("symbolic_head.predictions.transform.LayerNorm", ("tag_transform", "norm"))
+    if "symbolic_head.predictions.bias" in flat:
+        put(("tag_bias",), flat["symbolic_head.predictions.bias"])
+
+    # --- answer head (nn.Sequential indices: 0=fc1, 2=LN, 3=fc2) ---
+    linear("answer_head.logit_fc.0", ("answer_head", "fc1"))
+    lnorm("answer_head.logit_fc.2", ("answer_head", "norm"))
+    linear("answer_head.logit_fc.3", ("answer_head", "fc2"))
+    # fine-tune VQAModel saves the head as a bare ``logit_fc`` (vqa_model.py:28)
+    linear("logit_fc.0", ("answer_head", "fc1"))
+    lnorm("logit_fc.2", ("answer_head", "norm"))
+    linear("logit_fc.3", ("answer_head", "fc2"))
+    return out
+
+
+def convert_lxrt_for_vqa(
+    flat: Dict[str, np.ndarray],
+    ucfg,
+    init_params: Dict,
+    src_answers=None,
+    dst_answers=None,
+    dtype=np.float32,
+) -> Dict:
+    """Pretrained LXRT checkpoint → ``UnsupervisedVQAModel`` params with the
+    answer-head row surgery (reference ``load_lxmert_qa``,
+    qa_answer_table.py:88-161): trunk weights load directly; the final
+    answer layer's rows are re-indexed by answer STRING from the ~9500-way
+    pretraining table (``src_answers``) onto the fine-tune vocabulary
+    (``dst_answers``); unmatched rows are zeroed. With no tables given the
+    answer head keeps its fresh init (``load_lxmert_from_pretrain_noqa``).
+
+    ``init_params`` is the freshly-initialized UnsupervisedVQAModel tree;
+    returns ``(partial_tree, n_answers_copied)`` — merge the tree with
+    ``merge_into``.
+    """
+    from visualbert_tpu.data.answer_table import AnswerTable, remap_answer_head
+
+    tree = convert_lxrt_state_dict(flat, ucfg, dtype=dtype)
+    answer = tree.pop("answer_head", None)
+    trunk = {k: v for k, v in tree.items()}
+    out: Dict = {"trunk": trunk}
+
+    if answer is None:
+        return out, 0
+    if src_answers is None or dst_answers is None:
+        # no surgery possible — load fc1/norm, drop the final layer
+        answer.pop("fc2", None)
+        out["answer_head"] = answer
+        return out, 0
+
+    src = src_answers if isinstance(src_answers, AnswerTable) else AnswerTable(src_answers)
+    dst = dst_answers if isinstance(dst_answers, AnswerTable) else AnswerTable(dst_answers)
+
+    def leaf(x):
+        import numpy as _np
+        from flax import linen as _nn
+        return _np.asarray(x.value if isinstance(x, _nn.Partitioned) else x)
+
+    init_fc2 = init_params["answer_head"]["fc2"]
+    remapped = remap_answer_head(
+        kernel=answer["fc2"]["kernel"],
+        bias=answer["fc2"]["bias"],
+        src_table=src,
+        dst_table=dst,
+        dst_kernel=leaf(init_fc2["kernel"]),
+        dst_bias=leaf(init_fc2["bias"]),
+    )
+    answer["fc2"] = {"kernel": remapped["kernel"], "bias": remapped["bias"]}
+    out["answer_head"] = answer
+    return out, remapped["n_copied"]
+
+
 def maybe_special_initialize(params: Dict) -> Dict:
     """Copy text token-type/position tables into the visual ones when absent
     (reference ``special_intialize``, modeling.py:1191-1196)."""
