@@ -72,3 +72,62 @@ def test_dropout_distribution(rng):
     np.testing.assert_allclose(np.asarray(o1), np.asarray(o2))
     o3 = flash_attention(q, k, v, bias, dropout_rate=0.5, seed=jnp.int32(8))
     assert np.abs(np.asarray(o1) - np.asarray(o3)).max() > 0
+
+
+# ---- packed-QKV variant -------------------------------------------------
+
+from visualbert_tpu.ops.flash_attention import flash_attention_packed
+
+
+def make_packed(rng, B=2, T=23, H=4, D=16, dtype=jnp.float32):
+    qkv = jnp.asarray(rng.randn(B, T, 3 * H * D), dtype)
+    mask = np.ones((B, T), np.float32)
+    mask[0, -5:] = 0
+    bias = jnp.asarray(((1.0 - mask) * -10000.0)[:, None, None, :])
+    return qkv, bias
+
+
+def packed_reference(qkv, bias, H):
+    B, T, F = qkv.shape
+    D = F // (3 * H)
+    x = qkv.reshape(B, T, 3, H, D)
+    out = reference_attention(x[:, :, 0], x[:, :, 1], x[:, :, 2], bias)
+    return out.reshape(B, T, H * D)
+
+
+def test_packed_forward_matches_reference(rng):
+    qkv, bias = make_packed(rng)
+    out = flash_attention_packed(qkv, 4, bias)
+    ref = packed_reference(qkv, bias, 4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_packed_grads_match_reference(rng):
+    qkv, bias = make_packed(rng, T=31)
+
+    g1 = jax.grad(lambda x: (flash_attention_packed(x, 4, bias) ** 2).sum())(qkv)
+    g2 = jax.grad(lambda x: (packed_reference(x, bias, 4) ** 2).sum())(qkv)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4, rtol=1e-4)
+
+
+def test_packed_encoder_layer_equivalence(rng):
+    """Full SelfAttention module: packed kernel path ≡ einsum path."""
+    from visualbert_tpu.config import VisualBertConfig
+    from visualbert_tpu.models.encoder import SelfAttention
+
+    cfg = VisualBertConfig.tiny(use_flash_attention=True, packed_qkv=True)
+    B, T = 2, 19
+    hidden = jnp.asarray(rng.randn(B, T, cfg.hidden_size), jnp.float32)
+    mask = np.ones((B, T), np.float32)
+    mask[1, -4:] = 0
+    bias = jnp.asarray(((1.0 - mask) * -10000.0)[:, None, None, :])
+
+    mod_packed = SelfAttention(cfg)
+    params = mod_packed.init(jax.random.PRNGKey(0), hidden, bias)["params"]
+    out_packed, _ = mod_packed.apply({"params": params}, hidden, bias)
+
+    mod_plain = SelfAttention(cfg.replace(use_flash_attention=False))
+    out_plain, _ = mod_plain.apply({"params": params}, hidden, bias)
+    np.testing.assert_allclose(
+        np.asarray(out_packed), np.asarray(out_plain), atol=2e-5, rtol=1e-4
+    )

@@ -55,6 +55,10 @@ class VisualBertConfig:
     param_dtype: Any = jnp.float32     # parameter dtype
     remat: bool = False                # rematerialize encoder layers
     use_flash_attention: bool = False  # Pallas fused attention kernel
+    # With the flash kernel: keep the QKV projection in its matmul-natural
+    # packed [B, T, 3·H·D] layout and slice heads inside the kernel (full
+    # MXU-width matmuls, no [B,3,H,T,D] relayout copies).
+    packed_qkv: bool = True
     # scan_layers=True: one traced layer, weights stacked on a leading axis
     # (fast compile; canonical checkpoint layout). False: unrolled layers —
     # slower compile but removes the scan's dynamic-update-slice copies of

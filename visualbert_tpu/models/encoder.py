@@ -61,12 +61,14 @@ def activation(name: str):
 
 class FusedQKV(nn.Module):
     """Single fused QKV projection — one [H, 3·H] matmul instead of three
-    (better MXU utilization). ``heads_major=True`` emits [B, 3, H, T, D]
-    (the fused kernel's layout, no downstream transpose); False emits
-    [B, T, 3, H, D]."""
+    (better MXU utilization). ``packed=True`` emits the matmul-natural
+    [B, T, 3·H·D] (full-width MXU tiles; the packed Pallas kernel carves the
+    heads out in VMEM); ``heads_major=True`` emits [B, 3, H, T, D] (legacy
+    kernel layout); default emits [B, T, 3, H, D]."""
 
     config: VisualBertConfig
     heads_major: bool = False
+    packed: bool = False
 
     @nn.compact
     def __call__(self, hidden: Array) -> Array:
@@ -90,6 +92,10 @@ class FusedQKV(nn.Module):
         )
         kernel = kernel.astype(cfg.dtype)
         bias = bias.astype(cfg.dtype)
+        if self.packed:
+            F = 3 * cfg.num_attention_heads * cfg.head_dim
+            out = hidden @ kernel.reshape(cfg.hidden_size, F)
+            return out + bias.reshape(F)
         if self.heads_major:
             out = jnp.einsum("bte,eshd->bshtd", hidden, kernel)
             return out + bias[None, :, :, None, :]
@@ -98,12 +104,14 @@ class FusedQKV(nn.Module):
 
 
 class OutProj(nn.Module):
-    """Attention output projection, layout-aware (consumes [B,H,T,D] from
-    the fused kernel or [B,T,H,D] from the einsum path without transposes).
-    Param names/shapes match the previous DenseGeneral ("out"/kernel,bias)."""
+    """Attention output projection, layout-aware (consumes [B,T,H·D] packed
+    from the packed kernel, [B,H,T,D] from the legacy fused kernel, or
+    [B,T,H,D] from the einsum path — all without transposes). Param
+    names/shapes match the previous DenseGeneral ("out"/kernel,bias)."""
 
     config: VisualBertConfig
     heads_major: bool = False
+    packed: bool = False
 
     @nn.compact
     def __call__(self, ctx: Array) -> Array:
@@ -122,6 +130,10 @@ class OutProj(nn.Module):
             (cfg.hidden_size,),
             cfg.param_dtype,
         )
+        if self.packed:
+            hd = cfg.num_attention_heads * cfg.head_dim
+            out = ctx @ kernel.astype(cfg.dtype).reshape(hd, cfg.hidden_size)
+            return out + bias.astype(cfg.dtype)
         eq = "bhtd,hde->bte" if self.heads_major else "bthd,hde->bte"
         return jnp.einsum(eq, ctx, kernel.astype(cfg.dtype)) + bias.astype(cfg.dtype)
 
@@ -146,28 +158,37 @@ class SelfAttention(nn.Module):
         cfg = self.config
         init = truncated_normal_init(cfg.initializer_range)
         use_kernel = cfg.use_flash_attention and not output_probs
+        use_packed = use_kernel and cfg.packed_qkv
 
-        qkv = FusedQKV(cfg, heads_major=use_kernel, name="qkv")(hidden)
+        qkv = FusedQKV(
+            cfg, heads_major=use_kernel and not use_packed, packed=use_packed,
+            name="qkv",
+        )(hidden)
         if use_kernel:
-            q, k, v = qkv[:, 0], qkv[:, 1], qkv[:, 2]  # [B, H, T, D]
-        else:
-            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, T, H, D]
-
-        if use_kernel:
-            from visualbert_tpu.ops.flash_attention import flash_attention
-
             rate = 0.0 if deterministic else cfg.attention_probs_dropout_prob
             seed = None
             if rate > 0.0:
                 seed = jax.random.randint(
                     self.make_rng("dropout"), (), 0, 2**31 - 1, dtype=jnp.int32
                 )
-            ctx = flash_attention(
-                q, k, v, bias=attn_bias, dropout_rate=rate, seed=seed,
-                heads_major=True,
-            )  # [B, H, T, D]
             probs = None
+            if use_packed:
+                from visualbert_tpu.ops.flash_attention import flash_attention_packed
+
+                ctx = flash_attention_packed(
+                    qkv, cfg.num_attention_heads, bias=attn_bias,
+                    dropout_rate=rate, seed=seed,
+                )  # [B, T, H·D]
+            else:
+                from visualbert_tpu.ops.flash_attention import flash_attention
+
+                q, k, v = qkv[:, 0], qkv[:, 1], qkv[:, 2]  # [B, H, T, D]
+                ctx = flash_attention(
+                    q, k, v, bias=attn_bias, dropout_rate=rate, seed=seed,
+                    heads_major=True,
+                )  # [B, H, T, D]
         else:
+            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, T, H, D]
             scale = 1.0 / jnp.sqrt(jnp.asarray(cfg.head_dim, jnp.float32))
             # scores in fp32 for a numerically faithful softmax
             scores = jnp.einsum(
@@ -181,7 +202,10 @@ class SelfAttention(nn.Module):
             )
             ctx = jnp.einsum("bhqk,bkhd->bqhd", probs_cast, v)  # [B, T, H, D]
 
-        out = OutProj(cfg, heads_major=use_kernel, name="out")(ctx)
+        out = OutProj(
+            cfg, heads_major=use_kernel and not use_packed, packed=use_packed,
+            name="out",
+        )(ctx)
         return (out, probs) if output_probs else (out, None)
 
 

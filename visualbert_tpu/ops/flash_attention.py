@@ -199,6 +199,190 @@ def _flash_bwd(rate, residuals, do):
 _flash.defvjp(_flash_fwd, _flash_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Packed-QKV variant: consumes the QKV projection in its MATMUL-NATURAL layout
+# [B, T, 3·H·D] (one [E, 3·H·D] matmul — full-width MXU tiles) and emits
+# [B, T, H·D] (which feeds the output projection as a plain [HD, E] matmul).
+#
+# Why: producing [B, 3, H, T, D] for the heads-major kernel forces XLA into
+# 3·H tiny [T, E]×[E, D=64] matmuls (half-empty 128-lane tiles, ~48% MXU) plus
+# a ~100 MB relayout copy ("squeeze", ~7.5 ms/step at BERT-base bs=96). Here
+# the per-head [T, D] tiles are carved out INSIDE the kernel by static lane
+# slices of the VMEM block (cheap), so both neighbouring matmuls run at full
+# MXU width. Numerics identical to the heads-major kernel (same seeding).
+# ---------------------------------------------------------------------------
+
+
+def _packed_fwd_kernel(seed_ref, qkv_ref, bias_ref, o_ref, *, scale, rate, n_heads, d):
+    b = pl.program_id(0)
+    bias = bias_ref[b]
+    x = qkv_ref[0]  # [T, 3·H·D]
+    hd = n_heads * d
+    for h in range(n_heads):
+        q = x[:, h * d:(h + 1) * d]
+        k = x[:, hd + h * d: hd + (h + 1) * d]
+        v = x[:, 2 * hd + h * d: 2 * hd + (h + 1) * d]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        s = s * scale + bias[None, :]
+        p = _softmax_rows(s)
+        if rate > 0.0:
+            pltpu.prng_seed(seed_ref[0] + b * n_heads + h)
+            keep = _keep_mask(p.shape, rate)
+            p = jnp.where(keep, p / (1.0 - rate), 0.0)
+        o = jax.lax.dot_general(
+            p.astype(q.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0, :, h * d:(h + 1) * d] = o.astype(o_ref.dtype)
+
+
+def _packed_bwd_kernel(
+    seed_ref, qkv_ref, bias_ref, do_ref, dqkv_ref, *, scale, rate, n_heads, d
+):
+    b = pl.program_id(0)
+    bias = bias_ref[b]
+    x = qkv_ref[0]
+    hd = n_heads * d
+    for h in range(n_heads):
+        q = x[:, h * d:(h + 1) * d]
+        k = x[:, hd + h * d: hd + (h + 1) * d]
+        v = x[:, 2 * hd + h * d: 2 * hd + (h + 1) * d]
+        do = do_ref[0, :, h * d:(h + 1) * d].astype(jnp.float32)
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        s = s * scale + bias[None, :]
+        p = _softmax_rows(s)
+
+        if rate > 0.0:
+            pltpu.prng_seed(seed_ref[0] + b * n_heads + h)
+            keep = _keep_mask(p.shape, rate)
+            p_d = jnp.where(keep, p / (1.0 - rate), 0.0)
+        else:
+            p_d = p
+
+        dv = jax.lax.dot_general(
+            p_d.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp_d = jax.lax.dot_general(
+            do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if rate > 0.0:
+            dp = jnp.where(keep, dp_d / (1.0 - rate), 0.0)
+        else:
+            dp = dp_d
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        ds = ds * scale
+        dq = jax.lax.dot_general(
+            ds, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dk = jax.lax.dot_general(
+            ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dqkv_ref[0, :, h * d:(h + 1) * d] = dq.astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, hd + h * d: hd + (h + 1) * d] = dk.astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, 2 * hd + h * d: 2 * hd + (h + 1) * d] = dv.astype(dqkv_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _flash_packed(qkv, key_bias, rate, n_heads, d, seed):
+    return _flash_packed_fwd_impl(qkv, key_bias, rate, n_heads, d, seed)
+
+
+def _flash_packed_fwd_impl(qkv, key_bias, rate, n_heads, d, seed):
+    B, T, F = qkv.shape
+    in_spec = pl.BlockSpec((1, T, F), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, T, F // 3), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM)
+    bias_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    scale = 1.0 / (d ** 0.5)
+    return pl.pallas_call(
+        functools.partial(
+            _packed_fwd_kernel, scale=scale, rate=rate, n_heads=n_heads, d=d
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B,),
+            in_specs=[in_spec, bias_spec],
+            out_specs=out_spec,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, T, F // 3), qkv.dtype),
+        interpret=_interpret(),
+        compiler_params=None if _interpret() else pltpu.CompilerParams(
+            dimension_semantics=("parallel",)
+        ),
+    )(seed, qkv, key_bias)
+
+
+def _flash_packed_fwd(qkv, key_bias, rate, n_heads, d, seed):
+    out = _flash_packed_fwd_impl(qkv, key_bias, rate, n_heads, d, seed)
+    return out, (qkv, key_bias, seed)
+
+
+def _flash_packed_bwd(rate, n_heads, d, residuals, do):
+    qkv, key_bias, seed = residuals
+    B, T, F = qkv.shape
+    in_spec = pl.BlockSpec((1, T, F), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM)
+    do_spec = pl.BlockSpec((1, T, F // 3), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM)
+    bias_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    scale = 1.0 / (d ** 0.5)
+    dqkv = pl.pallas_call(
+        functools.partial(
+            _packed_bwd_kernel, scale=scale, rate=rate, n_heads=n_heads, d=d
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B,),
+            in_specs=[in_spec, bias_spec, do_spec],
+            out_specs=in_spec,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, T, F), qkv.dtype),
+        interpret=_interpret(),
+        compiler_params=None if _interpret() else pltpu.CompilerParams(
+            dimension_semantics=("parallel",)
+        ),
+    )(seed, qkv, key_bias, do)
+    dseed = np.zeros(seed.shape, dtype=jax.dtypes.float0)
+    return dqkv, jnp.zeros_like(key_bias), dseed
+
+
+_flash_packed.defvjp(_flash_packed_fwd, _flash_packed_bwd)
+
+
+def flash_attention_packed(
+    qkv: jax.Array,
+    n_heads: int,
+    bias: jax.Array,
+    dropout_rate: float = 0.0,
+    seed: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Fused attention over a packed QKV projection.
+
+    qkv: [B, T, 3·H·D], laid out [q₀..q_{H-1} | k₀.. | v₀..] (each block D
+    wide) — i.e. the natural reshape of a fused [E, 3·H·D] projection with
+    the (3, H, D) output axes in that order.
+    bias: [B, 1, 1, T] or [B, T] additive key mask (0 valid / -10000 pad).
+    Returns [B, T, H·D] (heads re-packed on the feature axis).
+    """
+    B, T, F = qkv.shape
+    assert F % (3 * n_heads) == 0, (F, n_heads)
+    d = F // (3 * n_heads)
+    if bias.ndim == 4:
+        key_bias = bias[:, 0, 0, :].astype(jnp.float32)
+    else:
+        key_bias = bias.astype(jnp.float32)
+    if seed is None:
+        seed = jnp.zeros((), jnp.int32)
+    seed = jnp.asarray(seed, jnp.int32).reshape((1,))
+    return _flash_packed(qkv, key_bias, float(dropout_rate), n_heads, d, seed)
+
+
 def flash_attention(
     q: jax.Array,
     k: jax.Array,

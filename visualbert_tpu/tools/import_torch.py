@@ -378,6 +378,102 @@ def convert_lxrt_for_vqa(
     return out, remapped["n_copied"]
 
 
+_RESNET_STAGE_BLOCKS = {"layer1": 3, "layer2": 4, "layer3": 6, "layer4": 3}
+
+# the reference wraps the torchvision modules in nn.Sequential containers,
+# renaming them positionally (detector.py:62-70, 87-93, 95-99)
+_DETECTOR_SEQ_ALIASES = [
+    (r"^backbone\.0\.", "conv1."),
+    (r"^backbone\.1\.", "bn1."),
+    (r"^backbone\.4\.", "layer1."),
+    (r"^backbone\.5\.", "layer2."),
+    (r"^backbone\.6\.", "layer3."),
+    (r"^after_roi_align\.0\.", "layer4."),
+    (r"^obj_downsample\.1\.", "obj_downsample."),
+    (r"^module\.", ""),
+    (r"^detector\.", ""),
+]
+
+
+def convert_resnet50_state_dict(flat: Dict[str, np.ndarray], dtype=np.float32) -> Dict:
+    """Convert a torchvision-format ResNet50 state dict (or a reference
+    ``SimpleDetector`` checkpoint wrapping one) into the Flax
+    ``models/detector.py`` param tree.
+
+    Accepts both raw torchvision names (``conv1.weight``, ``layer2.0.bn3...``,
+    ``layer1.0.downsample.0/1``) and the reference detector's Sequential-
+    renamed ones (``backbone.0.weight`` etc., detector.py:62-70). The stride
+    surgery (detector.py:30-45) only changes strides, never weight shapes, so
+    ImageNet torchvision weights import unchanged.
+
+    Layout: torch conv [O, I, kh, kw] → flax [kh, kw, I, O]; BN
+    weight/bias/running_mean/running_var → scale/bias/mean/var; linear
+    weight [O, I] → kernel [I, O].
+    """
+    renamed = {}
+    for k, v in flat.items():
+        for pat, rep in _DETECTOR_SEQ_ALIASES:
+            k = re.sub(pat, rep, k)
+        renamed[k] = np.asarray(v, dtype=dtype)
+    flat = renamed
+
+    out: Dict = {}
+
+    def put(path, value):
+        node = out
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = value
+
+    def conv(prefix, dst):
+        w = flat.get(prefix + ".weight")
+        if w is None:
+            return False
+        put(dst + ("kernel",), np.transpose(w, (2, 3, 1, 0)))
+        if prefix + ".bias" in flat:
+            put(dst + ("bias",), flat[prefix + ".bias"])
+        return True
+
+    def bn(prefix, dst):
+        if prefix + ".weight" not in flat:
+            return False
+        put(dst + ("scale",), flat[prefix + ".weight"])
+        put(dst + ("bias",), flat[prefix + ".bias"])
+        put(dst + ("mean",), flat[prefix + ".running_mean"])
+        put(dst + ("var",), flat[prefix + ".running_var"])
+        return True
+
+    # trunk root (lives under "backbone" in SimpleDetector, or stands alone
+    # for a bare ResNet50Trunk — emit the canonical SimpleDetector layout;
+    # callers peel subtrees as needed)
+    conv("conv1", ("backbone", "conv1"))
+    bn("bn1", ("backbone", "bn1"))
+    for stage in ("layer1", "layer2", "layer3", "layer4"):
+        root = ("after_roi_align", "layer4") if stage == "layer4" else ("backbone", stage)
+        for i in range(_RESNET_STAGE_BLOCKS[stage]):
+            blk = root + (f"block{i}",)
+            pref = f"{stage}.{i}"
+            if not conv(f"{pref}.conv1", blk + ("conv1",)):
+                continue
+            bn(f"{pref}.bn1", blk + ("bn1",))
+            conv(f"{pref}.conv2", blk + ("conv2",))
+            bn(f"{pref}.bn2", blk + ("bn2",))
+            conv(f"{pref}.conv3", blk + ("conv3",))
+            bn(f"{pref}.bn3", blk + ("bn3",))
+            conv(f"{pref}.downsample.0", blk + ("downsample_conv",))
+            bn(f"{pref}.downsample.1", blk + ("downsample_bn",))
+
+    # detector heads (present when converting a full SimpleDetector ckpt)
+    conv("mask_upsample", ("mask_upsample",))
+    if "object_embed.weight" in flat:
+        put(("object_embed", "embedding"), flat["object_embed.weight"])
+    for name in ("regularizing_predictor", "obj_downsample"):
+        if name + ".weight" in flat:
+            put((name, "kernel"), flat[name + ".weight"].T)
+            put((name, "bias"), flat[name + ".bias"])
+    return out
+
+
 def maybe_special_initialize(params: Dict) -> Dict:
     """Copy text token-type/position tables into the visual ones when absent
     (reference ``special_intialize``, modeling.py:1191-1196)."""
