@@ -93,3 +93,94 @@ def test_detector_forward(rng):
     assert out["obj_logits"].shape == (B, N, 81)
     assert np.isfinite(float(out["cnn_regularization_loss"]))
     assert np.isfinite(np.asarray(out["obj_reps"])).all()
+
+
+# ---- adaptive sampling_ratio=0 vs a torch transcription of the torchvision
+# CPU kernel (cpu/roi_align_kernel.cpp semantics: per-bin grid =
+# ceil(roi_size/pooled_size), average of bilinear taps, aligned=False) -----
+
+import pytest
+
+torch = pytest.importorskip("torch")
+
+
+def torch_roi_align(fm_nchw, boxes, out_size, sampling_ratio, scale):
+    """Independent torch implementation following torchvision's CPU kernel
+    structure: per (box, bin) adaptive grid counts, (iy+.5)/grid offsets,
+    average over count — NOT a port of ops/roi_align.py (no static max-grid,
+    no masked weights; integer grid counts via math.ceil per box)."""
+    import math
+
+    C, H, W = fm_nchw.shape
+    outs = []
+    for box in boxes:
+        x1, y1, x2, y2 = [float(v) * scale for v in box]
+        roi_w = max(x2 - x1, 1.0)
+        roi_h = max(y2 - y1, 1.0)
+        bin_w = roi_w / out_size
+        bin_h = roi_h / out_size
+        grid_h = sampling_ratio if sampling_ratio > 0 else int(math.ceil(roi_h / out_size))
+        grid_w = sampling_ratio if sampling_ratio > 0 else int(math.ceil(roi_w / out_size))
+        count = max(grid_h * grid_w, 1)
+        out = torch.zeros(C, out_size, out_size)
+        for ph in range(out_size):
+            for pw in range(out_size):
+                acc = torch.zeros(C)
+                for iy in range(grid_h):
+                    yy = y1 + ph * bin_h + (iy + 0.5) * bin_h / grid_h
+                    yy = min(max(yy, 0.0), H - 1.0)
+                    y0 = int(math.floor(yy))
+                    y1i = min(y0 + 1, H - 1)
+                    ly = yy - y0
+                    for ix in range(grid_w):
+                        xx = x1 + pw * bin_w + (ix + 0.5) * bin_w / grid_w
+                        xx = min(max(xx, 0.0), W - 1.0)
+                        x0 = int(math.floor(xx))
+                        x1i = min(x0 + 1, W - 1)
+                        lx = xx - x0
+                        acc += (
+                            fm_nchw[:, y0, x0] * (1 - ly) * (1 - lx)
+                            + fm_nchw[:, y0, x1i] * (1 - ly) * lx
+                            + fm_nchw[:, y1i, x0] * ly * (1 - lx)
+                            + fm_nchw[:, y1i, x1i] * ly * lx
+                        )
+                out[:, ph, pw] = acc / count
+        outs.append(out)
+    return torch.stack(outs)
+
+
+def test_adaptive_matches_torch_reference(rng):
+    H, W, C, N = 16, 20, 4, 5
+    fm = rng.randn(H, W, C).astype(np.float32)
+    boxes = np.zeros((N, 4), np.float32)
+    for n in range(N):
+        x1 = rng.uniform(0, W * 16 - 50)
+        y1 = rng.uniform(0, H * 16 - 50)
+        # spread of sizes so adaptive grid counts differ per box (1..4 taps)
+        boxes[n] = [x1, y1, x1 + rng.uniform(20, 300), y1 + rng.uniform(20, 300)]
+
+    out = roi_align(
+        jnp.asarray(fm)[None], jnp.asarray(boxes)[None],
+        out_size=7, sampling_ratio=0, spatial_scale=1 / 16, max_samples=8,
+    )[0]
+    ref = torch_roi_align(
+        torch.from_numpy(fm.transpose(2, 0, 1)), boxes, 7, 0, 1 / 16
+    ).numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4, rtol=1e-4)
+
+
+def test_fixed_ratio_matches_torch_reference(rng):
+    H, W, C, N = 12, 14, 3, 4
+    fm = rng.randn(H, W, C).astype(np.float32)
+    boxes = np.array(
+        [[5, 7, 100, 90], [0, 0, 40, 40], [30, 50, 200, 180], [16, 16, 17, 17]],
+        np.float32,
+    )
+    out = roi_align(
+        jnp.asarray(fm)[None], jnp.asarray(boxes)[None],
+        out_size=7, sampling_ratio=2, spatial_scale=1 / 16,
+    )[0]
+    ref = torch_roi_align(
+        torch.from_numpy(fm.transpose(2, 0, 1)), boxes, 7, 2, 1 / 16
+    ).numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4, rtol=1e-4)

@@ -222,3 +222,63 @@ def test_text_only_batch(tok, sym):
     assert np.isfinite(float(out["loss"]))
     assert "masked_lm_loss" in out
     assert "obj_loss" not in out
+
+
+def test_wwm_groups_continuations(tok):
+    """True WWM: '##' continuation pieces share their word's mask decision;
+    labels cover every piece of a masked word."""
+    from visualbert_tpu.data.masking import MLM_IGNORE, random_word_wwm_pieces
+
+    # craft a piece stream with a 3-piece word in the middle
+    pieces = ["w1", "w2", "##2", "##3", "w4"]
+    # patch: ensure the pieces exist in the test vocab
+    for p in pieces:
+        assert p in tok.vocab or p.startswith("##"), p
+    n_groups = 3  # w1 | w2 ##2 ##3 | w4
+    seen_group_mask = False
+    for seed in range(40):
+        rng = np.random.default_rng(seed)
+        out, labels = random_word_wwm_pieces(pieces, tok, rng, mask_prob=0.5)
+        assert len(out) == len(labels) == len(pieces)
+        # group members always share fate: labels for positions 1..3 are all
+        # set or all ignore
+        grp = labels[1:4]
+        assert all(l == MLM_IGNORE for l in grp) or all(l != MLM_IGNORE for l in grp)
+        if all(l != MLM_IGNORE for l in grp):
+            seen_group_mask = True
+    assert seen_group_mask
+
+    # degenerate reference mode: pieces decide independently — find a seed
+    # where group members diverge
+    diverged = False
+    for seed in range(60):
+        rng = np.random.default_rng(seed)
+        _, labels = random_word_wwm_pieces(
+            pieces, tok, rng, mask_prob=0.5, group_continuations=False
+        )
+        grp = labels[1:4]
+        if any(l == MLM_IGNORE for l in grp) and any(l != MLM_IGNORE for l in grp):
+            diverged = True
+            break
+    assert diverged
+
+
+def test_text_matched_objective(tok):
+    """Passage-pair matched objective (reference text_data.py:249-297):
+    [CLS] a [SEP] b [SEP] layout, segment ids, matched_label balance."""
+    passages = [[f"w{i} w{i+1} w{i+2}", f"w{i+3} w{i+4}"] for i in range(1, 9)]
+    corpus = PackedCorpus.build(passages, tok)
+    ds = TextOnlyDataset(corpus, tok, max_seq_length=16, matched_objective=True)
+    labels = []
+    for seed in range(30):
+        s = ds[(seed % len(ds), np.random.default_rng(seed))]
+        assert s["input_ids"].shape == (16,)
+        assert s["input_ids"][0] == tok.cls_id
+        n = int(s["input_mask"].sum())
+        # two SEPs present, segment ids 0 then 1
+        sep_positions = np.where(s["input_ids"][:n] == tok.sep_id)[0]
+        assert len(sep_positions) == 2
+        assert s["token_type_ids"][sep_positions[0]] == 0
+        assert s["token_type_ids"][sep_positions[1]] == 1
+        labels.append(int(s["matched_label"]))
+    assert 0 in labels and 1 in labels

@@ -66,6 +66,9 @@ class VisualBertConfig:
     scan_layers: bool = True
     # fused residual+LayerNorm Pallas kernel (apex FusedLayerNorm analogue)
     use_fused_layer_norm: bool = False
+    # Save only the FFN pre-activation for backward; recompute gelu there.
+    # Halves the FFN intermediate's HBM writes (numerics unchanged).
+    ffn_recompute_act: bool = True
 
     @property
     def head_dim(self) -> int:

@@ -46,10 +46,15 @@ class HybridBatcher:
         iters = []
         for i, b in enumerate(self.batchers):
             def cycle(b=b, i=i):
-                e = epoch
+                # fresh order each wrap when a source is upsampled; the salt
+                # keys (source, wrap) into a space disjoint from real epoch
+                # numbers (< 2^20), so no reuse collides with a later epoch
+                n_src = len(self.batchers)
+                wrap = 0
                 while True:
-                    yield from b.epoch(e)
-                    e += 1000 + i  # fresh order when a source is upsampled
+                    salt = 0 if wrap == 0 else (1 << 20) + ((epoch * n_src + i) << 10) + wrap
+                    yield from b.epoch(epoch if wrap == 0 else salt)
+                    wrap += 1
             iters.append(cycle())
 
         for src in deck:

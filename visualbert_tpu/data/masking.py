@@ -66,9 +66,7 @@ def random_word_wwm(
     labels: List[int] = []
     vocab_items = list(tokenizer.vocab.keys())
     for word in words:
-        pieces = tokenizer.wordpiece.tokenize(
-            word if word in tokenizer.vocab else word
-        )
+        pieces = tokenizer.wordpiece.tokenize(word)
         if rng.random() < mask_prob:
             p = rng.random()
             for piece in pieces:
@@ -82,6 +80,50 @@ def random_word_wwm(
         else:
             out_tokens.extend(pieces)
             labels.extend([MLM_IGNORE] * len(pieces))
+    return out_tokens, labels
+
+
+def random_word_wwm_pieces(
+    pieces: Sequence[str],
+    tokenizer: BertTokenizer,
+    rng: np.random.Generator,
+    mask_prob: float = 0.15,
+    group_continuations: bool = True,
+) -> Tuple[List[str], List[int]]:
+    """Whole-word masking over an ALREADY-wordpieced stream (the packed
+    corpus path, reference text_data.py:157 → random_word_wwm :415-451).
+
+    ``group_continuations=True``: ``##`` continuation pieces share their
+    word's masking decision — true whole-word masking. ``False`` reproduces
+    the reference's packed-text behavior bit-for-bit: the reference feeds
+    each piece back through ``wordpiece_tokenizer.tokenize`` which maps
+    ``'##x' → ['##x']`` (a vocab entry), so every piece decides
+    independently — its "wwm" degenerates to per-subword masking there.
+    """
+    vocab_items = list(tokenizer.vocab.keys())
+    groups: List[List[str]] = []
+    for p in pieces:
+        if group_continuations and p.startswith("##") and groups:
+            groups[-1].append(p)
+        else:
+            groups.append([p])
+
+    out_tokens: List[str] = []
+    labels: List[int] = []
+    for g in groups:
+        if rng.random() < mask_prob:
+            p = rng.random()
+            for piece in g:
+                if p < 0.8:
+                    out_tokens.append("[MASK]")
+                elif p < 0.9:
+                    out_tokens.append(vocab_items[int(rng.integers(len(vocab_items)))])
+                else:
+                    out_tokens.append(piece)
+                labels.append(tokenizer.vocab.get(piece, tokenizer.vocab["[UNK]"]))
+        else:
+            out_tokens.extend(g)
+            labels.extend([MLM_IGNORE] * len(g))
     return out_tokens, labels
 
 

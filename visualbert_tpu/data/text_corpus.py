@@ -17,7 +17,11 @@ from typing import Dict, List, Sequence
 
 import numpy as np
 
-from visualbert_tpu.data.masking import MLM_IGNORE, random_word_wwm
+from visualbert_tpu.data.masking import (
+    MLM_IGNORE,
+    assemble_pair,
+    random_word_wwm_pieces,
+)
 from visualbert_tpu.data.tokenization import BertTokenizer
 
 
@@ -89,7 +93,18 @@ class PackedCorpus:
 
 class TextOnlyDataset:
     """MLM-over-text-only examples drawn from a PackedCorpus, emitting the
-    same field layout as the V&L pretraining dataset (no visual streams)."""
+    same field layout as the V&L pretraining dataset (no visual streams).
+
+    ``matched_objective=True`` adds the passage-pair matched objective
+    (reference text_data.py:249-297): the example becomes
+    ``[CLS] a [SEP] b [SEP]`` where ``b`` is a continuation piece of the
+    same passage (matched_label=1, 50%) or a piece of a random other
+    passage (matched_label=0).
+
+    ``group_continuations``: True = true whole-word masking over the packed
+    wordpiece stream; False = the reference's per-subword degeneration
+    (see ``random_word_wwm_pieces``).
+    """
 
     def __init__(
         self,
@@ -99,26 +114,62 @@ class TextOnlyDataset:
         max_seq_length: int = 64,
         mask_prob: float = 0.15,
         matched_objective: bool = False,
+        group_continuations: bool = True,
     ):
         self.corpus = corpus
         self.tokenizer = tokenizer
         self.max_seq_length = max_seq_length
         self.mask_prob = mask_prob
         self.matched_objective = matched_objective
+        self.group_continuations = group_continuations
         self.ids_to_tokens = tokenizer.ids_to_tokens
 
     def __len__(self):
         return self.corpus.n_passages
 
+    def _masked_piece(self, passage: int, start: int, budget: int, rng):
+        piece = self.corpus.piece(passage, start, budget)
+        pieces = [self.ids_to_tokens[int(t)] for t in piece]
+        tokens, labels = random_word_wwm_pieces(
+            pieces, self.tokenizer, rng, self.mask_prob,
+            group_continuations=self.group_continuations,
+        )
+        return tokens[:budget], labels[:budget]
+
     def __getitem__(self, args) -> Dict[str, np.ndarray]:
         i, rng = args
         T = self.max_seq_length
+
+        if self.matched_objective:
+            # two half-length parts (reference text_data.py:252 seq_len//2)
+            half = (T - 3) // 2
+            start_a = int(rng.integers(1 << 30))
+            tokens_a, labels_a = self._masked_piece(i, start_a, half, rng)
+            if rng.random() < 0.5 and self.corpus.n_passages > 1:
+                j = int(rng.integers(self.corpus.n_passages))
+                while j == i:
+                    j = int(rng.integers(self.corpus.n_passages))
+                tokens_b, labels_b = self._masked_piece(j, int(rng.integers(1 << 30)), half, rng)
+                match = 0
+            else:
+                # a continuation piece of the same passage (reference uses
+                # the next pre-segmented chunk, text_data.py:258-261)
+                tokens_b, labels_b = self._masked_piece(i, start_a + 1, half, rng)
+                match = 1
+            enc = assemble_pair(
+                tokens_a, tokens_b, self.tokenizer, T,
+                lm_labels_a=labels_a, lm_labels_b=labels_b,
+            )
+            return {
+                "input_ids": enc.input_ids,
+                "token_type_ids": enc.segment_ids,
+                "input_mask": enc.input_mask,
+                "masked_lm_labels": enc.lm_labels,
+                "matched_label": np.int32(match),
+            }
+
         budget = T - 2
-        piece = self.corpus.piece(i, int(rng.integers(1 << 30)), budget)
-        words = [self.ids_to_tokens[int(t)] for t in piece]
-        tokens, labels = random_word_wwm(words, self.tokenizer, rng, self.mask_prob)
-        tokens = tokens[:budget]
-        labels = labels[:budget]
+        tokens, labels = self._masked_piece(i, int(rng.integers(1 << 30)), budget, rng)
 
         ids = np.zeros(T, np.int32)
         mask = np.zeros(T, np.int32)

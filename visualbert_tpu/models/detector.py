@@ -157,7 +157,8 @@ class SimpleDetector(nn.Module):
     ):
         B, N = boxes.shape[:2]
         fm = ResNet50Trunk(self.dtype, name="backbone")(images)
-        roi = roi_align(fm, boxes, out_size=7, sampling_ratio=2, spatial_scale=1 / 16)
+        # sampling_ratio=0 = torchvision's adaptive quadrature (detector.py:71-73)
+        roi = roi_align(fm, boxes, out_size=7, sampling_ratio=0, spatial_scale=1 / 16)
         roi = roi.reshape(B * N, 7, 7, fm.shape[-1])
 
         if self.semantic and segms is not None:

@@ -248,6 +248,40 @@ class ResidualNorm(nn.Module):
         return reference_add_layer_norm(x, res, scale, bias, cfg.layer_norm_eps)
 
 
+def _ffn_body(mdl: "TransformerLayer", hidden: Array) -> Array:
+    """FFN sublayer (reference modeling.py:295-319). Split out so it can be
+    wrapped in nn.remat with a save-only-preactivation policy: without it XLA
+    materializes BOTH the pre-gelu and post-gelu [N, intermediate] arrays to
+    HBM in the forward pass (the backward needs pre-act for gelu' and
+    post-act for dW2) — the extra write/read makes the intermediate matmul
+    ~2× slower than roofline. With the policy only the pre-activation is
+    saved and gelu is recomputed in the backward (elementwise, fuses into
+    the dW2 read)."""
+    cfg = mdl.config
+    init = truncated_normal_init(cfg.initializer_range)
+    h = nn.Dense(
+        cfg.intermediate_size,
+        dtype=cfg.dtype,
+        param_dtype=cfg.param_dtype,
+        kernel_init=nn.with_partitioning(init, ("embed", "mlp")),
+        bias_init=nn.with_partitioning(nn.initializers.zeros_init(), ("mlp",)),
+        name="intermediate",
+    )(hidden)
+    from jax.ad_checkpoint import checkpoint_name
+
+    h = checkpoint_name(h, "ffn_preact")
+    # default: exact (erf) gelu — reference modeling.py:56-61
+    h = activation(cfg.hidden_act)(h)
+    return nn.Dense(
+        cfg.hidden_size,
+        dtype=cfg.dtype,
+        param_dtype=cfg.param_dtype,
+        kernel_init=nn.with_partitioning(init, ("mlp", "embed")),
+        bias_init=nn.with_partitioning(nn.initializers.zeros_init(), ("embed",)),
+        name="output",
+    )(h)
+
+
 class TransformerLayer(nn.Module):
     """Post-LN BERT layer: attn → add&norm → FFN(gelu) → add&norm
     (reference: modeling.py:322-342)."""
@@ -263,7 +297,6 @@ class TransformerLayer(nn.Module):
         output_probs: bool = False,
     ):
         cfg = self.config
-        init = truncated_normal_init(cfg.initializer_range)
 
         attn_out, probs = SelfAttention(cfg, name="attention")(
             hidden, attn_bias, deterministic, output_probs
@@ -273,24 +306,15 @@ class TransformerLayer(nn.Module):
             attn_out, hidden, deterministic=deterministic
         )
 
-        ffn = nn.Dense(
-            cfg.intermediate_size,
-            dtype=cfg.dtype,
-            param_dtype=cfg.param_dtype,
-            kernel_init=nn.with_partitioning(init, ("embed", "mlp")),
-            bias_init=nn.with_partitioning(nn.initializers.zeros_init(), ("mlp",)),
-            name="intermediate",
-        )(hidden)
-        # default: exact (erf) gelu — reference modeling.py:56-61
-        ffn = activation(cfg.hidden_act)(ffn)
-        ffn = nn.Dense(
-            cfg.hidden_size,
-            dtype=cfg.dtype,
-            param_dtype=cfg.param_dtype,
-            kernel_init=nn.with_partitioning(init, ("mlp", "embed")),
-            bias_init=nn.with_partitioning(nn.initializers.zeros_init(), ("embed",)),
-            name="output",
-        )(ffn)
+        if cfg.ffn_recompute_act and not cfg.remat:
+            ffn_fn = nn.remat(
+                _ffn_body,
+                policy=jax.checkpoint_policies.save_only_these_names("ffn_preact"),
+                prevent_cse=False,
+            )
+        else:  # whole-layer remat already recomputes everything
+            ffn_fn = _ffn_body
+        ffn = ffn_fn(self, hidden)
         hidden = ResidualNorm(cfg, name="output_norm")(
             ffn, hidden, deterministic=deterministic
         )

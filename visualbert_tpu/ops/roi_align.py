@@ -8,14 +8,19 @@ rewrite:
     in/out); invalid boxes produce garbage that downstream masks ignore —
     no ``nonzero()`` compaction (detector.py:115-121), which would be a
     dynamic shape under jit.
-  * **Static sampling grid**: ``sampling_ratio=0`` in torchvision adapts the
-    number of bilinear samples to each box's size — data-dependent control
-    flow. Here the sample count is a fixed ``sampling_ratio`` (default 2,
-    the detectron2 default); the integrand is the same bilinear-interpolated
-    feature field, so values differ only in quadrature resolution.
-  * The gather-based XLA path below is the reference implementation; a
-    Pallas kernel (same math, feature map staged in VMEM) provides the fast
-    path for large feature maps.
+  * **Adaptive sampling with a static grid**: torchvision's
+    ``sampling_ratio=0`` samples each bin with ``ceil(bin_size)`` bilinear
+    taps per axis — a data-dependent count. Here every bin gets a static
+    ``max_samples`` × ``max_samples`` lattice whose spacing is computed from
+    the per-box adaptive count and whose out-of-count taps carry zero weight,
+    so the quadrature matches torchvision exactly for every box with
+    ``ceil(bin) <= max_samples`` (larger boxes clamp to ``max_samples`` taps —
+    at 1/16 scale that means images beyond ``16·7·max_samples`` px per side).
+    A positive ``sampling_ratio`` gives torchvision's fixed-grid behavior.
+  * Implementation is XLA gather-based (bilinear taps are data-dependent
+    addresses; XLA lowers them to dynamic-gathers). This op runs once per
+    image on the VCR path — not the training hot loop — so no hand-written
+    kernel is warranted; revisit if a profile ever says otherwise.
 
 Coordinates follow torchvision ``aligned=False`` legacy semantics (no -0.5
 pixel offset), matching the version the reference pinned.
@@ -63,47 +68,75 @@ def _bilinear_gather(fm: Array, ys: Array, xs: Array) -> Array:
     return out
 
 
-def _sample_coords(boxes: Array, out_size: int, sampling_ratio: int, scale: float):
-    """boxes: [N, 4] (x1,y1,x2,y2) image-pixel coords → per-box flattened
-    sample coords ys/xs: [N, (out*s)^2]."""
-    s = sampling_ratio
+def _grid(boxes: Array, out_size: int, S: int, sampling_ratio: int, scale: float):
+    """Per-box sample coordinates + quadrature weights.
+
+    boxes: [N, 4] → ys/xs: [N, out*S] coords along each axis, wy/wx:
+    [N, out*S] per-tap weights (0 beyond the adaptive count; each bin's
+    weights sum to 1 along the axis)."""
     x1, y1, x2, y2 = [boxes[:, i] * scale for i in range(4)]
     roi_w = jnp.maximum(x2 - x1, 1.0)  # torchvision clamps roi size to >= 1
     roi_h = jnp.maximum(y2 - y1, 1.0)
     bin_w = roi_w / out_size
     bin_h = roi_h / out_size
 
-    # sample offsets within a bin: (i + (j + 0.5)/s) for bin i, sample j
-    grid = (jnp.arange(out_size * s) + 0.5) / s  # position in bin units
-    ys = y1[:, None] + bin_h[:, None] * grid[None, :]  # [N, out*s]
-    xs = x1[:, None] + bin_w[:, None] * grid[None, :]
-    # full outer grid per box
-    P = out_size * s
-    ys_full = jnp.broadcast_to(ys[:, :, None], (boxes.shape[0], P, P)).reshape(-1, P * P)
-    xs_full = jnp.broadcast_to(xs[:, None, :], (boxes.shape[0], P, P)).reshape(-1, P * P)
-    return ys_full, xs_full
+    if sampling_ratio > 0:
+        n_h = jnp.full_like(bin_h, sampling_ratio)
+        n_w = jnp.full_like(bin_w, sampling_ratio)
+    else:  # adaptive: ceil(bin) taps per axis (torchvision sampling_ratio=0)
+        n_h = jnp.clip(jnp.ceil(bin_h), 1, S)
+        n_w = jnp.clip(jnp.ceil(bin_w), 1, S)
+
+    j = jnp.arange(S, dtype=jnp.float32)  # tap index within a bin
+    # tap position in bin units: (j + 0.5) / n ; weight 1/n for j < n
+    off_h = (j[None, :] + 0.5) / n_h[:, None]          # [N, S]
+    off_w = (j[None, :] + 0.5) / n_w[:, None]
+    w_h = jnp.where(j[None, :] < n_h[:, None], 1.0 / n_h[:, None], 0.0)
+    w_w = jnp.where(j[None, :] < n_w[:, None], 1.0 / n_w[:, None], 0.0)
+
+    i = jnp.arange(out_size, dtype=jnp.float32)        # bin index
+    # [N, out, S] absolute coords
+    ys = y1[:, None, None] + bin_h[:, None, None] * (i[None, :, None] + off_h[:, None, :])
+    xs = x1[:, None, None] + bin_w[:, None, None] * (i[None, :, None] + off_w[:, None, :])
+    N = boxes.shape[0]
+    return (
+        ys.reshape(N, out_size * S),
+        xs.reshape(N, out_size * S),
+        w_h,  # [N, S]
+        w_w,
+    )
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
 def roi_align(
     features: Array,       # [B, H, W, C] (NHWC)
     boxes: Array,          # [B, N, 4] (x1,y1,x2,y2) image pixels
     out_size: int = 7,
-    sampling_ratio: int = 2,
+    sampling_ratio: int = 0,
     spatial_scale: float = 1.0 / 16,
+    max_samples: int = 8,
 ) -> Array:
-    """Returns [B, N, out_size, out_size, C]."""
+    """Returns [B, N, out_size, out_size, C].
+
+    ``sampling_ratio=0`` (default) = torchvision's adaptive quadrature,
+    exact for boxes whose bins need ≤ ``max_samples`` taps per axis.
+    """
     B, H, W, C = features.shape
     N = boxes.shape[1]
-    s = sampling_ratio
-    P = out_size * s
+    S = max_samples if sampling_ratio <= 0 else sampling_ratio
+    P = out_size * S
 
     def per_image(fm, bx):
-        ys, xs = _sample_coords(bx.astype(jnp.float32), out_size, s, spatial_scale)
-        samples = jax.vmap(lambda y, x: _bilinear_gather(fm, y, x))(ys, xs)
-        # [N, P*P, C] → average each s×s block → [N, out, out, C]
-        samples = samples.reshape(N, P, P, C)
-        samples = samples.reshape(N, out_size, s, out_size, s, C)
-        return samples.mean(axis=(2, 4))
+        ys, xs, w_h, w_w = _grid(
+            bx.astype(jnp.float32), out_size, S, sampling_ratio, spatial_scale
+        )
+        # full outer grid per box: [N, P, P]
+        ys_full = jnp.broadcast_to(ys[:, :, None], (N, P, P)).reshape(N, P * P)
+        xs_full = jnp.broadcast_to(xs[:, None, :], (N, P, P)).reshape(N, P * P)
+        samples = jax.vmap(lambda y, x: _bilinear_gather(fm, y, x))(ys_full, xs_full)
+        samples = samples.reshape(N, out_size, S, out_size, S, C)
+        # weighted quadrature over the S×S taps of each bin
+        w = w_h[:, None, :, None, None, None] * w_w[:, None, None, None, :, None]
+        return (samples * w.astype(samples.dtype)).sum(axis=(2, 4))
 
     return jax.vmap(per_image)(features, boxes)

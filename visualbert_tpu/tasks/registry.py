@@ -430,20 +430,60 @@ def run_unsup_pretrain(cfg: TaskConfig):
             ann = json.load(f)
         feats = H5Features(d["features_h5"])
 
-    vl = up.UnsupervisedPretrainDataset(
-        ann, feats, tok, sym,
+    ds_kwargs = dict(
         max_seq_length=int(d.get("max_seq_length", 30)),
         n_regions=int(d.get("n_regions", 36)),
+    )
+    vl = up.UnsupervisedPretrainDataset(
+        ann, feats, tok, sym,
         matched_prob=float(d.get("matched_prob", 0.5)),
+        **ds_kwargs,
     )
     sources = [Batcher(vl, cfg.train.train_batch_size, seed=cfg.train.seed)]
     ratios = [1.0]
+    if d.get("image_only_ratio"):
+        # image-only hybrid source: same V&L entries without a text stream
+        # (reference image_only_splits, lxmert_pretrain.py:126-139)
+        img_ann = ann
+        if "image_only_annotations" in d:
+            with open(d["image_only_annotations"]) as f:
+                img_ann = json.load(f)
+        img_only = up.UnsupervisedPretrainDataset(
+            img_ann, feats, tok, sym, image_only=True, **ds_kwargs
+        )
+        sources.append(Batcher(img_only, cfg.train.train_batch_size, seed=cfg.train.seed + 1))
+        ratios.append(float(d["image_only_ratio"]))
     if "text_corpus" in d:
         corpus = PackedCorpus.load(d["text_corpus"])
-        txt = TextOnlyDataset(corpus, tok, max_seq_length=int(d.get("text_seq_length", 64)))
+        txt = TextOnlyDataset(
+            corpus, tok,
+            max_seq_length=int(d.get("text_seq_length", 64)),
+            matched_objective=bool(d.get("text_matched_objective", False)),
+        )
         sources.append(Batcher(txt, cfg.train.train_batch_size, seed=cfg.train.seed))
         ratios.append(float(d.get("text_ratio", 1.0)))
     hybrid = HybridBatcher(sources, ratios, seed=cfg.train.seed)
+
+    # pretrain eval split → per-epoch val loss + best checkpoint, the
+    # reference's BEST_EVAL_LOSS loop (lxmert_pretrain.py:379-412)
+    eval_data = None
+    if "val_annotations" in d or d.get("val_synthetic"):
+        if "val_annotations" in d:
+            with open(d["val_annotations"]) as f:
+                val_ann = json.load(f)
+            val_feats = feats
+        else:
+            val_ann, val_feats = up.make_synthetic(
+                int(d["val_synthetic"]), tok, sym,
+                feat_dim=cfg.model.visual_embedding_dim, seed=1,
+            )
+        val = up.UnsupervisedPretrainDataset(
+            val_ann, val_feats, tok, sym,
+            matched_prob=float(d.get("matched_prob", 0.5)),
+            **ds_kwargs,
+        )
+        val_batcher = Batcher(val, cfg.train.eval_batch_size, seed=cfg.train.seed)
+        eval_data = lambda: prefetch(val_batcher.epoch(0))
 
     model = UnsupervisedVisualBert(ucfg)
     trainer = _trainer(cfg, model)
@@ -452,9 +492,10 @@ def run_unsup_pretrain(cfg: TaskConfig):
     state, result = fit(
         trainer, state,
         train_data=lambda e: prefetch(hybrid.epoch(e)),
-        eval_data=None,
+        eval_data=eval_data,
         checkpoint_dir=os.path.join(cfg.folder, "ckpt"),
         val_metric="loss",
+        val_metric_higher_is_better=False,
         rng_seed=cfg.train.seed,
     )
     return state, result
