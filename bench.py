@@ -14,8 +14,10 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 ``vs_baseline`` divides by an estimated reference throughput of the PyTorch
 DataParallel implementation on A100 (fp16, eager, BertAdam): ~230
 pairs/s/chip. BASELINE.json's ``published`` is empty — the reference repo
-ships no throughput numbers — so this constant is an engineering estimate,
-to be replaced with a measured number when an A100 run is possible.
+ships no throughput numbers. The estimate's derivation (A100 roofline at
+25-35% eager MFU + measured Python/optimizer overheads) and a MEASURED
+same-host CPU head-to-head anchor (reference 0.137 vs ours 0.280 pairs/s =
+2.04x, scripts/measure_baseline_cpu.py) are documented in BASELINE.md.
 """
 
 import json
@@ -48,7 +50,7 @@ def synth_batch(batch, tt=128, tv=100, dv=2048, vocab=30522, seed=0, n_pred=24):
 
 
 def measure(batch_size, use_flash=True, remat=False, scan_layers=True,
-            hidden_act="gelu", K=10, repeats=2):
+            hidden_act="gelu", K=10, repeats=2, **cfg_overrides):
     import jax
     import jax.numpy as jnp
 
@@ -59,7 +61,7 @@ def measure(batch_size, use_flash=True, remat=False, scan_layers=True,
 
     cfg = VisualBertConfig.base(
         use_flash_attention=use_flash, remat=remat, scan_layers=scan_layers,
-        hidden_act=hidden_act,
+        hidden_act=hidden_act, **cfg_overrides,
     )
     model = VisualBertForTask(cfg, head_type="pretraining")
     n_chips = len(jax.devices())

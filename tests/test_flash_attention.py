@@ -90,8 +90,8 @@ def make_packed(rng, B=2, T=23, H=4, D=16, dtype=jnp.float32):
 def packed_reference(qkv, bias, H):
     B, T, F = qkv.shape
     D = F // (3 * H)
-    x = qkv.reshape(B, T, 3, H, D)
-    out = reference_attention(x[:, :, 0], x[:, :, 1], x[:, :, 2], bias)
+    x = qkv.reshape(B, T, H, 3, D)  # head-major packing [h, (q,k,v), d]
+    out = reference_attention(x[:, :, :, 0], x[:, :, :, 1], x[:, :, :, 2], bias)
     return out.reshape(B, T, H * D)
 
 

@@ -129,3 +129,74 @@ def test_unsup_pretrain_hybrid_task(tmp_path):
         keys.update(h)
     assert "train_masked_lm_loss" in keys
     assert "train_obj_loss" in keys  # V&L batches contributed
+
+
+def test_vqa_advanced_task(tmp_path):
+    """Answer-as-MLM task (reference modeling.py:1527-1554): learns above
+    chance on the synthetic set and dumps decoded answers."""
+    import json as _json
+
+    from visualbert_tpu.tasks import registry
+    from visualbert_tpu.utils.config_io import parse_task_config
+
+    folder = str(tmp_path / "run")
+    cfg = parse_task_config({
+        "task": "vqa_advanced",
+        "folder": folder,
+        "data": {"synthetic": 256, "max_seq_length": 12, "max_regions": 6,
+                 "n_answers": 4},
+        "model": {"vocab_size": 512, "hidden_size": 32, "num_hidden_layers": 1,
+                  "num_attention_heads": 2, "intermediate_size": 64,
+                  "max_position_embeddings": 32, "visual_embedding_dim": 32,
+                  "dtype": "float32"},
+        "optimizer": {"learning_rate": 3e-3, "schedule": "warmup_linear",
+                      "warmup": 0.1, "t_total": 400},
+        "train": {"train_batch_size": 32, "eval_batch_size": 32,
+                  "num_train_epochs": 10, "log_every": 0},
+    })
+    state, result = registry.run(cfg)
+    assert result.best_metric > 0.3  # chance = 1/4
+    preds = _json.load(open(f"{folder}/vqa_advanced_predictions.json"))
+    assert preds and {"question_id", "answer"} <= set(preds[0])
+
+
+def test_vcr_coco_pretrain_task(tmp_path):
+    """COCO r2c detector-path pretraining stage (reference
+    coco_dataset.py:235-340): raw images + masks through SimpleDetector into
+    the MLM+alignment objective."""
+    from visualbert_tpu.tasks import registry
+    from visualbert_tpu.utils.config_io import parse_task_config
+
+    cfg = parse_task_config({
+        "task": "vcr_coco_pretrain",
+        "folder": str(tmp_path / "run"),
+        "data": {"synthetic": 32, "max_seq_length": 16, "max_boxes": 4},
+        "model": {"vocab_size": 512, "hidden_size": 32, "num_hidden_layers": 1,
+                  "num_attention_heads": 2, "intermediate_size": 64,
+                  "max_position_embeddings": 32, "visual_embedding_dim": 512,
+                  "dtype": "float32"},
+        "optimizer": {"learning_rate": 3e-4, "schedule": "warmup_linear",
+                      "warmup": 0.1, "t_total": 100},
+        "train": {"train_batch_size": 8, "eval_batch_size": 8,
+                  "num_train_epochs": 1, "log_every": 0},
+    })
+    state, result = registry.run(cfg)
+    assert result.epochs_run == 1
+    assert np.isfinite(result.best_metric)
+    h = result.history[0]
+    # all three objective parts present
+    assert {"val_masked_lm_loss", "val_next_sentence_loss",
+            "val_cnn_regularization_loss"} <= set(h)
+
+
+def test_expand_coco():
+    from visualbert_tpu.data.datasets.coco import expand_coco
+
+    train = [{"image_id": f"t{i}"} for i in range(5)]
+    val = [{"image_id": f"v{i}"} for i in range(6)]
+    mini = ["v1", "v4"]
+    new_train, new_val = expand_coco(train, val, mini)
+    assert len(new_train) == 5 + 4          # val minus minival appended
+    assert {a["image_id"] for a in new_val} == {"v1", "v4"}
+    new_train2, _ = expand_coco(train, val, mini, exclude_minival=False)
+    assert len(new_train2) == 11

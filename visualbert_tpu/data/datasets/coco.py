@@ -67,8 +67,10 @@ class CocoCaptionsDataset:
                 caps = self.annotations[j]["captions"]
                 return caps[int(rng.integers(len(caps)))]
 
-    def __getitem__(self, args) -> Dict[str, np.ndarray]:
-        i, rng = args
+    def _encode_captions(self, i, rng):
+        """Caption sampling + MLM masking + pair assembly → (EncodedText,
+        is_random_next, gathered mlm positions). Shared by the cached-feature
+        and raw-image (r2c/detector) datasets."""
         item = self.annotations[i]
         caps = item["captions"]
 
@@ -105,6 +107,12 @@ class CocoCaptionsDataset:
         pos = np.flatnonzero(enc.lm_labels != MLM_IGNORE)[: self.n_mlm_predictions]
         positions = np.zeros(self.n_mlm_predictions, np.int32)
         positions[: len(pos)] = pos
+        return enc, is_random_next, positions
+
+    def __getitem__(self, args) -> Dict[str, np.ndarray]:
+        i, rng = args
+        item = self.annotations[i]
+        enc, is_random_next, positions = self._encode_captions(i, rng)
 
         feat = self.features.get(str(item["image_id"]))["features"]
         visual, image_mask, _ = pad_regions(feat, self.max_regions)
@@ -119,6 +127,114 @@ class CocoCaptionsDataset:
             "visual_embeddings": visual,
             "image_mask": image_mask,
         }
+
+
+class CocoDetectorDataset(CocoCaptionsDataset):
+    """COCO captions through the RAW-IMAGE → TPU detector path (the
+    reference's ``r2c`` image_feature_type, coco_dataset.py:235-340): load
+    the image, scale the precomputed detection boxes/masks, prepend the
+    full-image window row with an all-ones 14×14 mask and the
+    ``__background__`` class (coco_dataset.py:276-279), and emit the
+    detector-model batch (images/boxes/box_mask/classes/segms) alongside the
+    MLM + sentence-image-alignment text fields. This is the VCR pipeline's
+    COCO pretraining stage (configs/vcr/coco-pre-train.json).
+
+    ``images`` is an ``ImageFolderStore``-compatible reader returning
+    {"image", "boxes", "classes", "segms"} already in resized coordinates.
+    """
+
+    def __init__(self, annotations, images, tokenizer, *, max_boxes: int = 20,
+                 **kw):
+        super().__init__(annotations, features=None, tokenizer=tokenizer, **kw)
+        self.images = images
+        self.max_boxes = max_boxes
+
+    def __getitem__(self, args) -> Dict[str, np.ndarray]:
+        from visualbert_tpu.data.pipeline import pad_to
+
+        i, rng = args
+        item = self.annotations[i]
+        enc, is_random_next, positions = self._encode_captions(i, rng)
+
+        img = self.images.get(str(item["image_id"]))
+        N = self.max_boxes
+        h, w = img["image"].shape[:2]
+        window = np.asarray([[0.0, 0.0, w - 1.0, h - 1.0]], np.float32)
+        boxes = np.concatenate([window, np.asarray(img["boxes"], np.float32)])[:N]
+        classes = np.concatenate(
+            [[0], np.asarray(img["classes"], np.int64)]
+        ).astype(np.int32)[:N]
+        segms_src = img.get("segms")
+        if segms_src is None:
+            segms_src = np.zeros((len(img["boxes"]), 14, 14), np.float32)
+        segms = np.concatenate(
+            [np.ones((1, 14, 14), np.float32), np.asarray(segms_src, np.float32)]
+        )[:N]
+        n = len(boxes)
+        box_mask = np.zeros(N, np.int32)
+        box_mask[:n] = 1
+
+        return {
+            "images": np.asarray(img["image"], np.float32),
+            "boxes": pad_to(boxes, N, axis=0),
+            "box_mask": box_mask,
+            "classes": pad_to(classes, N, axis=0),
+            "segms": pad_to(segms, N, axis=0),
+            "input_ids": enc.input_ids,
+            "token_type_ids": enc.segment_ids,
+            "input_mask": enc.input_mask,
+            "masked_lm_labels": enc.lm_labels,
+            "mlm_positions": positions,
+            "is_random_next": np.int32(is_random_next),
+        }
+
+
+def expand_coco(
+    train_annotations: List[Dict],
+    val_annotations: List[Dict],
+    minival_image_ids: List,
+    exclude_minival: bool = True,
+):
+    """The reference's ``expand_coco`` (coco_dataset.py:422-441): train
+    becomes train + val, optionally minus the VQA minival images; val shrinks
+    to exactly the minival images. Returns (train, val)."""
+    mini = {str(x) for x in minival_image_ids}
+    extra = val_annotations
+    if exclude_minival:
+        extra = [a for a in val_annotations if str(a["image_id"]) not in mini]
+    train = list(train_annotations) + list(extra)
+    val = [a for a in val_annotations if str(a["image_id"]) in mini]
+    return train, val
+
+
+def make_synthetic_detector(n: int, tokenizer: BertTokenizer, img_size: int = 32,
+                            n_boxes: int = 3, seed: int = 0):
+    """Toy raw-image COCO captions for the detector-path pretraining task:
+    returns (annotations, image_store) shaped like ImageFolderStore.get."""
+    from visualbert_tpu.data.features import ChunkFeatures
+
+    rng = np.random.default_rng(seed)
+    words = [w for w in tokenizer.vocab if not w.startswith("[") and not w.startswith("##")]
+    annotations, chunk = [], {}
+    for i in range(n):
+        img = rng.normal(size=(img_size, img_size, 3)).astype(np.float32) * 0.1
+        boxes = np.zeros((n_boxes, 4), np.float32)
+        for b in range(n_boxes):
+            x = rng.uniform(0, img_size - 12)
+            y = rng.uniform(0, img_size - 12)
+            boxes[b] = [x, y, x + 10, y + 10]
+        chunk[str(i)] = {
+            "image": img,
+            "boxes": boxes,
+            "classes": rng.integers(1, 81, size=n_boxes),
+            "segms": rng.random((n_boxes, 14, 14)).astype(np.float32),
+        }
+        caps = [
+            " ".join(words[int(rng.integers(len(words)))] for _ in range(6))
+            for _ in range(3)
+        ]
+        annotations.append({"image_id": str(i), "captions": caps})
+    return annotations, ChunkFeatures(chunk)
 
 
 def make_synthetic(n: int, tokenizer: BertTokenizer, n_regions: int = 10,

@@ -136,7 +136,9 @@ def make_synthetic(
 
     rng = np.random.default_rng(seed)
     words = [w for w in tokenizer.vocab if not w.startswith("[") and not w.startswith("##")]
-    answers = [f"ans{i}" for i in range(n_answers)]
+    # answers are REAL vocab words so the vqa_advanced answer-as-MLM mode
+    # (labels = wordpiece ids of the answer) is learnable on the same data
+    answers = [words[-(i + 1)] for i in range(n_answers)]
     annotations, chunk = [], {}
     for i in range(n):
         a = int(rng.integers(n_answers))
@@ -144,7 +146,7 @@ def make_synthetic(
         chunk[str(i)] = {"features": rng.normal(size=(n_regions, feat_dim)).astype(np.float32)}
         annotations.append(
             {"question_tokens": q, "image_id": str(i), "answers": [answers[a]] * 4,
-             "question_id": i}
+             "answer_str": answers[a], "question_id": i}
         )
     return annotations, ChunkFeatures(chunk), AnswerVocab(answers)
 

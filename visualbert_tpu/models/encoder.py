@@ -94,8 +94,10 @@ class FusedQKV(nn.Module):
         bias = bias.astype(cfg.dtype)
         if self.packed:
             F = 3 * cfg.num_attention_heads * cfg.head_dim
-            out = hidden @ kernel.reshape(cfg.hidden_size, F)
-            return out + bias.reshape(F)
+            # head-major packing [h, (q,k,v), d] — a TP split of the feature
+            # axis hands each shard complete heads
+            out = hidden @ kernel.transpose(0, 2, 1, 3).reshape(cfg.hidden_size, F)
+            return out + bias.transpose(1, 0, 2).reshape(F)
         if self.heads_major:
             out = jnp.einsum("bte,eshd->bshtd", hidden, kernel)
             return out + bias[None, :, :, None, :]
@@ -177,7 +179,8 @@ class SelfAttention(nn.Module):
 
                 ctx = flash_attention_packed(
                     qkv, cfg.num_attention_heads, bias=attn_bias,
-                    dropout_rate=rate, seed=seed,
+                    dropout_rate=rate, seed=seed, mesh=cfg.mesh,
+                    save_probs=cfg.flash_save_probs,
                 )  # [B, T, H·D]
             else:
                 from visualbert_tpu.ops.flash_attention import flash_attention

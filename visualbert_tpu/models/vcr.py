@@ -71,11 +71,16 @@ class VisualBertDetectorModel(nn.Module):
         if not self.train_detector:
             obj_reps = jax.lax.stop_gradient(obj_reps)
 
-        C = batch["input_ids"].shape[1]
         B, N, D = obj_reps.shape
-        # broadcast image stream across the C answer choices (model.py:142-147)
-        visual = jnp.broadcast_to(obj_reps[:, None], (B, C, N, D))
-        image_mask = jnp.broadcast_to(batch["box_mask"][:, None], (B, C, N))
+        if batch["input_ids"].ndim == 2:
+            # choice-less batch (COCO r2c pretraining): one text per image
+            visual = obj_reps
+            image_mask = batch["box_mask"]
+        else:
+            C = batch["input_ids"].shape[1]
+            # broadcast image stream across the C answer choices (model.py:142-147)
+            visual = jnp.broadcast_to(obj_reps[:, None], (B, C, N, D))
+            image_mask = jnp.broadcast_to(batch["box_mask"][:, None], (B, C, N))
 
         sub_batch = dict(batch)
         sub_batch.pop("images"), sub_batch.pop("boxes"), sub_batch.pop("box_mask")

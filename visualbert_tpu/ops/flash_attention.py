@@ -40,6 +40,18 @@ def _keep_mask(shape, rate: float):
     return bits >= threshold
 
 
+def _dropout_keep(seed_scalar, shape, rate: float, interpret: bool):
+    """Per-(batch, head) keep mask. TPU path: hardware PRNG seeded with
+    ``seed_scalar``. Interpret path (CPU tests/dryrun): jax threefry — the
+    TPU PRNG primitives have no CPU lowering. Same-seed determinism holds on
+    both; the bit patterns differ across paths (dropout is distributional)."""
+    if interpret:
+        key = jax.random.PRNGKey(seed_scalar)
+        return jax.random.uniform(key, shape) >= rate
+    pltpu.prng_seed(seed_scalar)
+    return _keep_mask(shape, rate)
+
+
 def _softmax_rows(s):
     m = jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s - m)
@@ -47,7 +59,7 @@ def _softmax_rows(s):
     return e * pl.reciprocal(jnp.sum(e, axis=-1, keepdims=True), approx=False)
 
 
-def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale, rate, n_heads):
+def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale, rate, n_heads, interpret=False):
     b = pl.program_id(0)
     bias = bias_ref[b]  # [T] fp32 key-side additive mask (full array in VMEM)
     for h in range(n_heads):
@@ -60,8 +72,7 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale, rate, 
         s = s * scale + bias[None, :]
         p = _softmax_rows(s)
         if rate > 0.0:
-            pltpu.prng_seed(seed_ref[0] + b * n_heads + h)
-            keep = _keep_mask(p.shape, rate)
+            keep = _dropout_keep(seed_ref[0] + b * n_heads + h, p.shape, rate, interpret)
             p = jnp.where(keep, p / (1.0 - rate), 0.0)
         o = jax.lax.dot_general(
             p.astype(q.dtype), v, (((1,), (0,)), ((), ())),
@@ -72,7 +83,7 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale, rate, 
 
 def _bwd_kernel(
     seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
-    dq_ref, dk_ref, dv_ref, *, scale, rate, n_heads,
+    dq_ref, dk_ref, dv_ref, *, scale, rate, n_heads, interpret=False,
 ):
     b = pl.program_id(0)
     bias = bias_ref[b]
@@ -89,8 +100,7 @@ def _bwd_kernel(
         p = _softmax_rows(s)  # pre-dropout probs, fp32
 
         if rate > 0.0:
-            pltpu.prng_seed(seed_ref[0] + b * n_heads + h)
-            keep = _keep_mask(p.shape, rate)
+            keep = _dropout_keep(seed_ref[0] + b * n_heads + h, p.shape, rate, interpret)
             p_d = jnp.where(keep, p / (1.0 - rate), 0.0)
         else:
             p_d = p
@@ -146,7 +156,7 @@ def _flash_fwd_impl(q, k, v, key_bias, rate, seed):
     qkv_spec, bias_spec = _specs(B, T, H, D)
     scale = 1.0 / (D ** 0.5)
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale, rate=rate, n_heads=H),
+        functools.partial(_fwd_kernel, scale=scale, rate=rate, n_heads=H, interpret=_interpret()),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(B,),
@@ -173,7 +183,7 @@ def _flash_bwd(rate, residuals, do):
     qkv_spec, bias_spec = _specs(B, T, H, D)
     scale = 1.0 / (D ** 0.5)
     dq, dk, dv = pl.pallas_call(
-        functools.partial(_bwd_kernel, scale=scale, rate=rate, n_heads=H),
+        functools.partial(_bwd_kernel, scale=scale, rate=rate, n_heads=H, interpret=_interpret()),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(B,),
@@ -201,7 +211,7 @@ _flash.defvjp(_flash_fwd, _flash_bwd)
 
 # ---------------------------------------------------------------------------
 # Packed-QKV variant: consumes the QKV projection in its MATMUL-NATURAL layout
-# [B, T, 3·H·D] (one [E, 3·H·D] matmul — full-width MXU tiles) and emits
+# [B, T, H·3·D] (one [E, H·3·D] matmul — full-width MXU tiles) and emits
 # [B, T, H·D] (which feeds the output projection as a plain [HD, E] matmul).
 #
 # Why: producing [B, 3, H, T, D] for the heads-major kernel forces XLA into
@@ -210,26 +220,31 @@ _flash.defvjp(_flash_fwd, _flash_bwd)
 # the per-head [T, D] tiles are carved out INSIDE the kernel by static lane
 # slices of the VMEM block (cheap), so both neighbouring matmuls run at full
 # MXU width. Numerics identical to the heads-major kernel (same seeding).
+#
+# The feature axis is packed HEAD-MAJOR — [h₀(q,k,v), h₁(q,k,v), …], each
+# block D wide — so a tensor-parallel split of the feature axis hands every
+# shard complete heads, and GSPMD can propagate the kernel's "heads" sharding
+# through the reshape. Under a >1-device mesh the pallas_call (which has no
+# GSPMD partitioning rule) is wrapped in jax.shard_map over (data, model)
+# with per-shard head counts and shard-decorrelated dropout seeds.
 # ---------------------------------------------------------------------------
 
 
-def _packed_fwd_kernel(seed_ref, qkv_ref, bias_ref, o_ref, *, scale, rate, n_heads, d):
+def _packed_fwd_kernel(seed_ref, qkv_ref, bias_ref, o_ref, *, scale, rate, n_heads, d, interpret=False):
     b = pl.program_id(0)
     bias = bias_ref[b]
-    x = qkv_ref[0]  # [T, 3·H·D]
-    hd = n_heads * d
+    x = qkv_ref[0]  # [T, H·3·D]
     for h in range(n_heads):
-        q = x[:, h * d:(h + 1) * d]
-        k = x[:, hd + h * d: hd + (h + 1) * d]
-        v = x[:, 2 * hd + h * d: 2 * hd + (h + 1) * d]
+        q = x[:, (3 * h + 0) * d:(3 * h + 1) * d]
+        k = x[:, (3 * h + 1) * d:(3 * h + 2) * d]
+        v = x[:, (3 * h + 2) * d:(3 * h + 3) * d]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
         s = s * scale + bias[None, :]
         p = _softmax_rows(s)
         if rate > 0.0:
-            pltpu.prng_seed(seed_ref[0] + b * n_heads + h)
-            keep = _keep_mask(p.shape, rate)
+            keep = _dropout_keep(seed_ref[0] + b * n_heads + h, p.shape, rate, interpret)
             p = jnp.where(keep, p / (1.0 - rate), 0.0)
         o = jax.lax.dot_general(
             p.astype(q.dtype), v, (((1,), (0,)), ((), ())),
@@ -239,16 +254,15 @@ def _packed_fwd_kernel(seed_ref, qkv_ref, bias_ref, o_ref, *, scale, rate, n_hea
 
 
 def _packed_bwd_kernel(
-    seed_ref, qkv_ref, bias_ref, do_ref, dqkv_ref, *, scale, rate, n_heads, d
+    seed_ref, qkv_ref, bias_ref, do_ref, dqkv_ref, *, scale, rate, n_heads, d, interpret=False
 ):
     b = pl.program_id(0)
     bias = bias_ref[b]
     x = qkv_ref[0]
-    hd = n_heads * d
     for h in range(n_heads):
-        q = x[:, h * d:(h + 1) * d]
-        k = x[:, hd + h * d: hd + (h + 1) * d]
-        v = x[:, 2 * hd + h * d: 2 * hd + (h + 1) * d]
+        q = x[:, (3 * h + 0) * d:(3 * h + 1) * d]
+        k = x[:, (3 * h + 1) * d:(3 * h + 2) * d]
+        v = x[:, (3 * h + 2) * d:(3 * h + 3) * d]
         do = do_ref[0, :, h * d:(h + 1) * d].astype(jnp.float32)
 
         s = jax.lax.dot_general(
@@ -258,8 +272,7 @@ def _packed_bwd_kernel(
         p = _softmax_rows(s)
 
         if rate > 0.0:
-            pltpu.prng_seed(seed_ref[0] + b * n_heads + h)
-            keep = _keep_mask(p.shape, rate)
+            keep = _dropout_keep(seed_ref[0] + b * n_heads + h, p.shape, rate, interpret)
             p_d = jnp.where(keep, p / (1.0 - rate), 0.0)
         else:
             p_d = p
@@ -286,9 +299,155 @@ def _packed_bwd_kernel(
             ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        dqkv_ref[0, :, h * d:(h + 1) * d] = dq.astype(dqkv_ref.dtype)
-        dqkv_ref[0, :, hd + h * d: hd + (h + 1) * d] = dk.astype(dqkv_ref.dtype)
-        dqkv_ref[0, :, 2 * hd + h * d: 2 * hd + (h + 1) * d] = dv.astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, (3 * h + 0) * d:(3 * h + 1) * d] = dq.astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, (3 * h + 1) * d:(3 * h + 2) * d] = dk.astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, (3 * h + 2) * d:(3 * h + 3) * d] = dv.astype(dqkv_ref.dtype)
+
+
+# --- save-probs variant: the forward additionally writes the pre-dropout
+# probability tensor [B, H, T, T] (bf16) to HBM; the backward reads it back
+# instead of recomputing QKᵀ + softmax (the exp recompute is the VPU
+# bottleneck of the backward kernel). Costs ~2·H·T² bytes/row of HBM; pays
+# when the VPU is the constraint, loses when HBM is. Config-gated.
+
+def _packed_fwd_sp_kernel(seed_ref, qkv_ref, bias_ref, o_ref, p_ref,
+                          *, scale, rate, n_heads, d, interpret=False):
+    b = pl.program_id(0)
+    bias = bias_ref[b]
+    x = qkv_ref[0]
+    for h in range(n_heads):
+        q = x[:, (3 * h + 0) * d:(3 * h + 1) * d]
+        k = x[:, (3 * h + 1) * d:(3 * h + 2) * d]
+        v = x[:, (3 * h + 2) * d:(3 * h + 3) * d]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        s = s * scale + bias[None, :]
+        p = _softmax_rows(s)
+        p_ref[0, h] = p.astype(p_ref.dtype)  # pre-dropout probs
+        if rate > 0.0:
+            keep = _dropout_keep(seed_ref[0] + b * n_heads + h, p.shape, rate, interpret)
+            p = jnp.where(keep, p / (1.0 - rate), 0.0)
+        o = jax.lax.dot_general(
+            p.astype(q.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0, :, h * d:(h + 1) * d] = o.astype(o_ref.dtype)
+
+
+def _packed_bwd_sp_kernel(seed_ref, qkv_ref, p_ref, do_ref, dqkv_ref,
+                          *, scale, rate, n_heads, d, interpret=False):
+    b = pl.program_id(0)
+    x = qkv_ref[0]
+    for h in range(n_heads):
+        q = x[:, (3 * h + 0) * d:(3 * h + 1) * d]
+        k = x[:, (3 * h + 1) * d:(3 * h + 2) * d]
+        v = x[:, (3 * h + 2) * d:(3 * h + 3) * d]
+        do = do_ref[0, :, h * d:(h + 1) * d].astype(jnp.float32)
+        p = p_ref[0, h].astype(jnp.float32)  # saved pre-dropout probs
+
+        if rate > 0.0:
+            keep = _dropout_keep(seed_ref[0] + b * n_heads + h, p.shape, rate, interpret)
+            p_d = jnp.where(keep, p / (1.0 - rate), 0.0)
+        else:
+            p_d = p
+        dv = jax.lax.dot_general(
+            p_d.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp_d = jax.lax.dot_general(
+            do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if rate > 0.0:
+            dp = jnp.where(keep, dp_d / (1.0 - rate), 0.0)
+        else:
+            dp = dp_d
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        ds = ds * scale
+        dq = jax.lax.dot_general(
+            ds, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dk = jax.lax.dot_general(
+            ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dqkv_ref[0, :, (3 * h + 0) * d:(3 * h + 1) * d] = dq.astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, (3 * h + 1) * d:(3 * h + 2) * d] = dk.astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, (3 * h + 2) * d:(3 * h + 3) * d] = dv.astype(dqkv_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _flash_packed_sp(qkv, key_bias, rate, n_heads, d, seed):
+    out, _ = _flash_packed_sp_fwd_impl(qkv, key_bias, rate, n_heads, d, seed)
+    return out
+
+
+def _flash_packed_sp_fwd_impl(qkv, key_bias, rate, n_heads, d, seed):
+    B, T, F = qkv.shape
+    in_spec = pl.BlockSpec((1, T, F), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, T, F // 3), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM)
+    p_spec = pl.BlockSpec((1, n_heads, T, T), lambda b, *_: (b, 0, 0, 0), memory_space=pltpu.VMEM)
+    bias_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    scale = 1.0 / (d ** 0.5)
+    out, probs = pl.pallas_call(
+        functools.partial(
+            _packed_fwd_sp_kernel, scale=scale, rate=rate, n_heads=n_heads, d=d,
+            interpret=_interpret(),
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B,),
+            in_specs=[in_spec, bias_spec],
+            out_specs=[out_spec, p_spec],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((B, T, F // 3), qkv.dtype),
+            jax.ShapeDtypeStruct((B, n_heads, T, T), jnp.bfloat16),
+        ],
+        interpret=_interpret(),
+        compiler_params=None if _interpret() else pltpu.CompilerParams(
+            dimension_semantics=("parallel",)
+        ),
+    )(seed, qkv, key_bias)
+    return out, probs
+
+
+def _flash_packed_sp_fwd(qkv, key_bias, rate, n_heads, d, seed):
+    out, probs = _flash_packed_sp_fwd_impl(qkv, key_bias, rate, n_heads, d, seed)
+    return out, (qkv, probs, seed)
+
+
+def _flash_packed_sp_bwd(rate, n_heads, d, residuals, do):
+    qkv, probs, seed = residuals
+    B, T, F = qkv.shape
+    in_spec = pl.BlockSpec((1, T, F), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM)
+    do_spec = pl.BlockSpec((1, T, F // 3), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM)
+    p_spec = pl.BlockSpec((1, n_heads, T, T), lambda b, *_: (b, 0, 0, 0), memory_space=pltpu.VMEM)
+    scale = 1.0 / (d ** 0.5)
+    dqkv = pl.pallas_call(
+        functools.partial(
+            _packed_bwd_sp_kernel, scale=scale, rate=rate, n_heads=n_heads, d=d,
+            interpret=_interpret(),
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B,),
+            in_specs=[in_spec, p_spec, do_spec],
+            out_specs=in_spec,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, T, F), qkv.dtype),
+        interpret=_interpret(),
+        compiler_params=None if _interpret() else pltpu.CompilerParams(
+            dimension_semantics=("parallel",)
+        ),
+    )(seed, qkv, probs, do)
+    dseed = np.zeros(seed.shape, dtype=jax.dtypes.float0)
+    return dqkv, jnp.zeros((qkv.shape[0], qkv.shape[1]), jnp.float32), dseed
+
+
+_flash_packed_sp.defvjp(_flash_packed_sp_fwd, _flash_packed_sp_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
@@ -304,7 +463,8 @@ def _flash_packed_fwd_impl(qkv, key_bias, rate, n_heads, d, seed):
     scale = 1.0 / (d ** 0.5)
     return pl.pallas_call(
         functools.partial(
-            _packed_fwd_kernel, scale=scale, rate=rate, n_heads=n_heads, d=d
+            _packed_fwd_kernel, scale=scale, rate=rate, n_heads=n_heads, d=d,
+            interpret=_interpret(),
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -334,7 +494,8 @@ def _flash_packed_bwd(rate, n_heads, d, residuals, do):
     scale = 1.0 / (d ** 0.5)
     dqkv = pl.pallas_call(
         functools.partial(
-            _packed_bwd_kernel, scale=scale, rate=rate, n_heads=n_heads, d=d
+            _packed_bwd_kernel, scale=scale, rate=rate, n_heads=n_heads, d=d,
+            interpret=_interpret(),
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -361,13 +522,19 @@ def flash_attention_packed(
     bias: jax.Array,
     dropout_rate: float = 0.0,
     seed: Optional[jax.Array] = None,
+    mesh=None,
+    save_probs: bool = False,
 ) -> jax.Array:
     """Fused attention over a packed QKV projection.
 
-    qkv: [B, T, 3·H·D], laid out [q₀..q_{H-1} | k₀.. | v₀..] (each block D
-    wide) — i.e. the natural reshape of a fused [E, 3·H·D] projection with
-    the (3, H, D) output axes in that order.
+    qkv: [B, T, H·3·D], laid out head-major [h₀(q,k,v) | h₁(q,k,v) | …]
+    (each block D wide) — the natural reshape of a fused [E, H·3·D]
+    projection with the (H, 3, D) output axes in that order.
     bias: [B, 1, 1, T] or [B, T] additive key mask (0 valid / -10000 pad).
+    mesh: a (data, model) ``jax.sharding.Mesh``. Required whenever the
+    enclosing jit runs on >1 device: pallas_call has no GSPMD partitioning
+    rule, so the kernel is dispatched through ``jax.shard_map`` — batch on
+    ``data``, whole heads on ``model`` — with shard-decorrelated dropout.
     Returns [B, T, H·D] (heads re-packed on the feature axis).
     """
     B, T, F = qkv.shape
@@ -380,7 +547,32 @@ def flash_attention_packed(
     if seed is None:
         seed = jnp.zeros((), jnp.int32)
     seed = jnp.asarray(seed, jnp.int32).reshape((1,))
-    return _flash_packed(qkv, key_bias, float(dropout_rate), n_heads, d, seed)
+    rate = float(dropout_rate)
+    call = _flash_packed_sp if save_probs else _flash_packed
+
+    if mesh is not None and mesh.size > 1:
+        from jax.sharding import PartitionSpec as P
+
+        tp = mesh.shape.get("model", 1)
+        assert n_heads % tp == 0, (n_heads, tp)
+        local_heads = n_heads // tp
+
+        def body(qkv_l, bias_l, seed_l):
+            di = jax.lax.axis_index("data").astype(jnp.int32)
+            mi = jax.lax.axis_index("model").astype(jnp.int32)
+            # stride past every (b, h) seed used within a shard
+            seed_l = seed_l + di * jnp.int32(1_000_003) + mi * jnp.int32(10_000_019)
+            return call(qkv_l, bias_l, rate, local_heads, d, seed_l)
+
+        return jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P("data", None, "model"), P("data", None), P()),
+            out_specs=P("data", None, "model"),
+            check_vma=False,
+        )(qkv, key_bias, seed)
+
+    return call(qkv, key_bias, rate, n_heads, d, seed)
 
 
 def flash_attention(

@@ -172,13 +172,22 @@ def _keep_mask(shape, rate: float):
     return bits >= threshold
 
 
+def _dropout_keep(seed_scalar, shape, rate: float, interpret: bool):
+    """TPU path: hardware PRNG. Interpret path (CPU tests/dryrun): jax
+    threefry — the TPU PRNG primitives have no CPU lowering. Same-seed
+    determinism holds on both paths."""
+    if interpret:
+        return jax.random.uniform(jax.random.PRNGKey(seed_scalar), shape) >= rate
+    pltpu.prng_seed(seed_scalar)
+    return _keep_mask(shape, rate)
+
+
 def _dfwd_kernel(seed_ref, x_ref, r_ref, scale_ref, bias_ref,
-                 y_ref, mu_ref, rstd_ref, *, eps, rate):
+                 y_ref, mu_ref, rstd_ref, *, eps, rate, interpret=False):
     i = pl.program_id(0)
     x = x_ref[...].astype(jnp.float32)
     if rate > 0.0:
-        pltpu.prng_seed(seed_ref[0] + i)
-        keep = _keep_mask(x.shape, rate)
+        keep = _dropout_keep(seed_ref[0] + i, x.shape, rate, interpret)
         x = jnp.where(keep, x / (1.0 - rate), 0.0)
     s = x + r_ref[...].astype(jnp.float32)
     mu = jnp.mean(s, axis=-1, keepdims=True)
@@ -192,12 +201,11 @@ def _dfwd_kernel(seed_ref, x_ref, r_ref, scale_ref, bias_ref,
 
 
 def _dbwd_kernel(seed_ref, x_ref, r_ref, scale_ref, mu_ref, rstd_ref, dy_ref,
-                 dx_ref, dres_ref, dscale_ref, dbias_ref, *, eps, rate):
+                 dx_ref, dres_ref, dscale_ref, dbias_ref, *, eps, rate, interpret=False):
     i = pl.program_id(0)
     x = x_ref[...].astype(jnp.float32)
     if rate > 0.0:
-        pltpu.prng_seed(seed_ref[0] + i)
-        keep = _keep_mask(x.shape, rate)
+        keep = _dropout_keep(seed_ref[0] + i, x.shape, rate, interpret)
         xd = jnp.where(keep, x / (1.0 - rate), 0.0)
     else:
         xd = x
@@ -255,7 +263,7 @@ def _dfwd_impl(x, res, scale, bias, seed, rate, eps):
     TILE = _pick_tile(N)
     row, vec, stat, _ = _dspecs(N, H, TILE)
     y, mu, rstd = pl.pallas_call(
-        functools.partial(_dfwd_kernel, eps=eps, rate=rate),
+        functools.partial(_dfwd_kernel, eps=eps, rate=rate, interpret=_interpret()),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(N // TILE,),
@@ -288,7 +296,7 @@ def _dfused_bwd(rate, eps, residuals, dy):
     TILE = _pick_tile(N)
     row, vec, stat, acc = _dspecs(N, H, TILE)
     dx, dres, dscale, dbias = pl.pallas_call(
-        functools.partial(_dbwd_kernel, eps=eps, rate=rate),
+        functools.partial(_dbwd_kernel, eps=eps, rate=rate, interpret=_interpret()),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(N // TILE,),

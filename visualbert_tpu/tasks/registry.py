@@ -60,7 +60,9 @@ def _trainer(cfg: TaskConfig, model) -> Trainer:
 
 
 def _run_fit(cfg: TaskConfig, trainer, train_ds, eval_ds, val_metric="accuracy",
-             dump_hook=None):
+             dump_hook=None, val_metric_higher_is_better=None):
+    if val_metric_higher_is_better is None:
+        val_metric_higher_is_better = val_metric != "loss"
     train_b = Batcher(train_ds, cfg.train.train_batch_size, seed=cfg.train.seed)
     eval_b = (
         Batcher(
@@ -93,6 +95,7 @@ def _run_fit(cfg: TaskConfig, trainer, train_ds, eval_ds, val_metric="accuracy",
         eval_data=(lambda: eval_b.epoch(0)) if eval_b else None,
         checkpoint_dir=os.path.join(cfg.folder, "ckpt"),
         val_metric=val_metric,
+        val_metric_higher_is_better=val_metric_higher_is_better,
         rng_seed=cfg.train.seed,
     )
     if dump_hook is not None and eval_b is not None:
@@ -201,6 +204,70 @@ def run_vqa(cfg: TaskConfig):
     return _run_fit(cfg, trainer, mk(train_ann), mk(eval_ann), dump_hook=dump)
 
 
+@register("vqa_advanced")
+def run_vqa_advanced(cfg: TaskConfig):
+    """VQA answer-as-MLM: the answer's wordpieces sit in [MASK] slots after
+    the question and are predicted by the tied MLM head (reference head
+    modeling.py:1527-1554, dataset mode vqa_dataset.py:158-184, dispatch
+    train.py:148-191). Eval = masked-token exact match (answer-token
+    accuracy) + decoded answer-string dump."""
+    from visualbert_tpu.data.datasets import vqa as vqa_ds
+
+    tok = _tokenizer(cfg)
+    d = cfg.data
+    if "synthetic" in d:
+        ann, feats, _ = vqa_ds.make_synthetic(
+            int(d["synthetic"]), tok,
+            n_answers=int(d.get("n_answers", 8)),
+            feat_dim=cfg.model.visual_embedding_dim,
+        )
+        split = int(len(ann) * 0.8)
+        train_ann, eval_ann = ann[:split], ann[split:]
+    else:
+        from visualbert_tpu.data.features import H5Features, NpyFolderFeatures
+
+        with open(d["train_annotations"]) as f:
+            train_ann = json.load(f)
+        with open(d["eval_annotations"]) as f:
+            eval_ann = json.load(f)
+        feats = (
+            H5Features(d["features_h5"])
+            if "features_h5" in d
+            else NpyFolderFeatures(d["features_dir"])
+        )
+    mk = lambda ann: vqa_ds.VQADataset(
+        ann, feats, tok, answer_vocab=None, advanced=True,
+        max_seq_length=int(d.get("max_seq_length", 128)),
+        max_regions=int(d.get("max_regions", 100)),
+    )
+    model = VisualBertForTask(cfg.model, head_type="vqa_advanced")
+    trainer = _trainer(cfg, model)
+    inv_vocab = {v: k for k, v in tok.vocab.items()}
+
+    def dump(collected, folder):
+        # decode the predicted answer tokens at the [MASK] slots
+        preds = []
+        for batch, out in collected:
+            logits = np.asarray(out["logits"], np.float32)  # [B, T, V]
+            ids = logits.argmax(-1)
+            labels = np.asarray(batch["masked_lm_labels"])
+            for b in range(len(ids)):
+                slots = np.flatnonzero(labels[b] != -1)
+                toks = [inv_vocab.get(int(ids[b, s]), "[UNK]") for s in slots]
+                preds.append({
+                    "question_id": int(batch["question_id"][b]),
+                    "answer": " ".join(toks).replace(" ##", ""),
+                })
+        with open(os.path.join(folder, "vqa_advanced_predictions.json"), "w") as f:
+            json.dump(preds, f)
+        return {}
+
+    return _run_fit(
+        cfg, trainer, mk(train_ann), mk(eval_ann),
+        val_metric="mlm_accuracy", dump_hook=dump,
+    )
+
+
 @register("coco_pretrain")
 def run_coco_pretrain(cfg: TaskConfig):
     from visualbert_tpu.data.datasets import coco as coco_ds
@@ -236,6 +303,69 @@ def run_coco_pretrain(cfg: TaskConfig):
         cfg = _dc.replace(cfg, optimizer=_dc.replace(cfg.optimizer, frozen=("pooler",)))
     trainer = _trainer(cfg, model)
     return _run_fit(cfg, trainer, ds, None, val_metric="loss")
+
+
+@register("vcr_coco_pretrain")
+def run_vcr_coco_pretrain(cfg: TaskConfig):
+    """COCO-caption MLM + alignment pretraining THROUGH the TPU-resident
+    detector (the VCR pipeline's pretraining stage — reference r2c mode,
+    coco_dataset.py:235-340, configs/vcr/coco-pre-train.json). Supports the
+    reference's ``expand_coco`` train+val-minus-minival expansion
+    (coco_dataset.py:422-441)."""
+    from visualbert_tpu.data.datasets import coco as coco_ds
+    from visualbert_tpu.models.vcr import VisualBertDetectorModel
+
+    tok = _tokenizer(cfg)
+    d = cfg.data
+    if "synthetic" in d:
+        ann, images = coco_ds.make_synthetic_detector(int(d["synthetic"]), tok)
+        split = int(len(ann) * 0.8)
+        train_ann, eval_ann = ann[:split], ann[split:]
+    else:
+        with open(d["train_annotations"]) as f:
+            train_ann = json.load(f)
+        eval_ann = None
+        if "eval_annotations" in d:
+            with open(d["eval_annotations"]) as f:
+                eval_ann = json.load(f)
+        if d.get("expand_coco") and eval_ann is not None:
+            with open(d["minival_image_ids"]) as f:
+                mini = json.load(f)
+            train_ann, eval_ann = coco_ds.expand_coco(
+                train_ann, eval_ann, mini,
+                exclude_minival=bool(d.get("exclude_minival", True)),
+            )
+        from visualbert_tpu.utils.images import ImageFolderStore
+
+        class_names = None
+        if "class_names" in d:
+            with open(d["class_names"]) as f:
+                class_names = [line.strip() for line in f if line.strip()]
+        images = ImageFolderStore(
+            d["images_dir"], target=int(d.get("image_size", 768)),
+            class_names=class_names,
+        )
+    mk = lambda ann: coco_ds.CocoDetectorDataset(
+        ann, images, tok,
+        max_boxes=int(d.get("max_boxes", 20)),
+        max_seq_length=int(d.get("max_seq_length", 128)),
+        two_sentence=bool(d.get("two_sentence", True)),
+    )
+    model = VisualBertDetectorModel(
+        cfg.model,
+        head_type="pretraining",
+        final_dim=int(d.get("final_dim", 512)),
+        cnn_loss_ratio=float(d.get("cnn_loss_ratio", 0.1)),
+    )
+    if not cfg.optimizer.frozen:
+        import dataclasses as _dc
+
+        cfg = _dc.replace(cfg, optimizer=_dc.replace(cfg.optimizer, frozen=("pooler",)))
+    trainer = _trainer(cfg, model)
+    return _run_fit(
+        cfg, trainer, mk(train_ann),
+        mk(eval_ann) if eval_ann else None, val_metric="loss",
+    )
 
 
 @register("nlvr2")
@@ -581,5 +711,12 @@ def run(cfg: TaskConfig):
     add_run_folder(cfg.folder)
     if cfg.task not in TASKS:
         raise KeyError(f"unknown task {cfg.task}; known: {sorted(TASKS)}")
+    # multi-device + Pallas attention: the kernel dispatches via shard_map
+    # and needs the mesh at model-construction time (config.py `mesh`)
+    d, m = cfg.train.mesh_shape
+    if d * m > 1 and cfg.model.use_flash_attention and cfg.model.mesh is None:
+        import dataclasses as _dc
+
+        cfg = _dc.replace(cfg, model=cfg.model.replace(mesh=create_mesh(cfg.train.mesh_shape)))
     log.info("running task %s → %s", cfg.task, cfg.folder)
     return TASKS[cfg.task](cfg)
