@@ -33,9 +33,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _keep_mask(shape, rate: float):
-    """Dropout keep-mask from the already-seeded PRNG."""
-    bits = pltpu.prng_random_bits(shape)
-    bits = pltpu.bitcast(bits, jnp.uint32)
+    """Dropout keep-mask from the already-seeded PRNG.
+
+    (A half-cost variant — u32 bitcast to two u16 lanes + 16-bit threshold
+    compare — fails to compile on v5e: Mosaic supports no 16-bit vector
+    comparisons, signed or unsigned. Full-width u32 compare it is.)"""
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
     threshold = jnp.uint32(min(int(rate * 2**32), 2**32 - 1))
     return bits >= threshold
 
@@ -52,9 +55,14 @@ def _dropout_keep(seed_scalar, shape, rate: float, interpret: bool):
     return _keep_mask(shape, rate)
 
 
+LOG2E = 1.4426950408889634
+
+
 def _softmax_rows(s):
     m = jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s - m)
+    # exp(x) as exp2(x·log2e): exp2 is the VPU's native exponential and the
+    # softmax exp is the VPU bottleneck of the forward kernel
+    e = jnp.exp2((s - m) * LOG2E)
     # multiply-by-reciprocal beats VPU divide by ~25% at these shapes
     return e * pl.reciprocal(jnp.sum(e, axis=-1, keepdims=True), approx=False)
 
@@ -91,7 +99,7 @@ def _bwd_kernel(
         q = q_ref[0, h]
         k = k_ref[0, h]
         v = v_ref[0, h]
-        do = do_ref[0, h].astype(jnp.float32)
+        do = do_ref[0, h]
 
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -105,6 +113,10 @@ def _bwd_kernel(
         else:
             p_d = p
 
+        # All backward matmuls take bf16 OPERANDS with fp32 accumulation —
+        # fp32 operands would run the MXU in its multi-pass fp32 mode (a
+        # fraction of bf16 rate) and dominated the backward kernel; bf16
+        # operands match the XLA path's einsum-backward numerics.
         # dV = P_dᵀ dO
         dv = jax.lax.dot_general(
             p_d.astype(do.dtype), do, (((0,), (0,)), ((), ())),
@@ -112,7 +124,7 @@ def _bwd_kernel(
         )
         # dP_d = dO Vᵀ ; undo dropout; softmax backward vs pre-dropout P
         dp_d = jax.lax.dot_general(
-            do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            do, v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         if rate > 0.0:
@@ -120,13 +132,13 @@ def _bwd_kernel(
         else:
             dp = dp_d
         ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-        ds = ds * scale
+        ds = (ds * scale).astype(q.dtype)
         dq = jax.lax.dot_general(
-            ds, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
+            ds, k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         dk = jax.lax.dot_general(
-            ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+            ds, q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         dq_ref[0, h] = dq.astype(dq_ref.dtype)
@@ -231,23 +243,33 @@ _flash.defvjp(_flash_fwd, _flash_bwd)
 
 
 def _packed_fwd_kernel(seed_ref, qkv_ref, bias_ref, o_ref, *, scale, rate, n_heads, d, interpret=False):
+    # MXU stages (QKᵀ, PV) loop over heads — the per-head [T, D] tiles are
+    # static lane slices of the packed VMEM block. VPU stages (softmax,
+    # dropout) run ONCE over the stacked [H·T, T] scores: batching the heads
+    # amortizes per-op dispatch and pads sublanes only once (H·T is a
+    # multiple of 8); the VPU, not the MXU, is this kernel's bottleneck.
     b = pl.program_id(0)
     bias = bias_ref[b]
     x = qkv_ref[0]  # [T, H·3·D]
+    T = x.shape[0]
+    s_all = []
     for h in range(n_heads):
         q = x[:, (3 * h + 0) * d:(3 * h + 1) * d]
         k = x[:, (3 * h + 1) * d:(3 * h + 2) * d]
-        v = x[:, (3 * h + 2) * d:(3 * h + 3) * d]
-        s = jax.lax.dot_general(
+        s_all.append(jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        s = s * scale + bias[None, :]
-        p = _softmax_rows(s)
-        if rate > 0.0:
-            keep = _dropout_keep(seed_ref[0] + b * n_heads + h, p.shape, rate, interpret)
-            p = jnp.where(keep, p / (1.0 - rate), 0.0)
+        ))
+    s = jnp.concatenate(s_all, axis=0)  # [H·T, T]
+    s = s * scale + bias[None, :]
+    p = _softmax_rows(s)
+    if rate > 0.0:
+        keep = _dropout_keep(seed_ref[0] + b, p.shape, rate, interpret)
+        p = jnp.where(keep, p / (1.0 - rate), 0.0)
+    p = p.astype(x.dtype)
+    for h in range(n_heads):
+        v = x[:, (3 * h + 2) * d:(3 * h + 3) * d]
         o = jax.lax.dot_general(
-            p.astype(q.dtype), v, (((1,), (0,)), ((), ())),
+            p[h * T:(h + 1) * T], v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         o_ref[0, :, h * d:(h + 1) * d] = o.astype(o_ref.dtype)
@@ -256,52 +278,75 @@ def _packed_fwd_kernel(seed_ref, qkv_ref, bias_ref, o_ref, *, scale, rate, n_hea
 def _packed_bwd_kernel(
     seed_ref, qkv_ref, bias_ref, do_ref, dqkv_ref, *, scale, rate, n_heads, d, interpret=False
 ):
+    # Same head-batched VPU structure as the forward (see _packed_fwd_kernel)
+    # plus the flash-attention delta identity: Σₖ dPₖ·Pₖ = dO·O row-wise, a
+    # [T, D] reduce instead of a [T, T] multiply+reduce. All matmuls take
+    # bf16 operands with fp32 accumulation — fp32 operands would run the MXU
+    # in its multi-pass fp32 mode; bf16 matches the XLA einsum-backward path.
     b = pl.program_id(0)
     bias = bias_ref[b]
     x = qkv_ref[0]
+    do_all = do_ref[0]  # [T, H·D]
+    T = x.shape[0]
+
+    s_all = []
     for h in range(n_heads):
         q = x[:, (3 * h + 0) * d:(3 * h + 1) * d]
         k = x[:, (3 * h + 1) * d:(3 * h + 2) * d]
-        v = x[:, (3 * h + 2) * d:(3 * h + 3) * d]
-        do = do_ref[0, :, h * d:(h + 1) * d].astype(jnp.float32)
-
-        s = jax.lax.dot_general(
+        s_all.append(jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        s = s * scale + bias[None, :]
-        p = _softmax_rows(s)
+        ))
+    s = jnp.concatenate(s_all, axis=0) * scale + bias[None, :]
+    p = _softmax_rows(s)  # [H·T, T] pre-dropout probs, fp32
+    if rate > 0.0:
+        keep = _dropout_keep(seed_ref[0] + b, p.shape, rate, interpret)
+        p_d = jnp.where(keep, p / (1.0 - rate), 0.0)
+    else:
+        keep = None
+        p_d = p
+    p_d16 = p_d.astype(x.dtype)
 
-        if rate > 0.0:
-            keep = _dropout_keep(seed_ref[0] + b * n_heads + h, p.shape, rate, interpret)
-            p_d = jnp.where(keep, p / (1.0 - rate), 0.0)
-        else:
-            p_d = p
-
+    dp_all = []
+    delta_all = []
+    for h in range(n_heads):
+        v = x[:, (3 * h + 2) * d:(3 * h + 3) * d]
+        do = do_all[:, h * d:(h + 1) * d]
+        # dV = P_dᵀ dO
         dv = jax.lax.dot_general(
-            p_d.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            p_d16[h * T:(h + 1) * T], do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        dp_d = jax.lax.dot_general(
-            do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+        dqkv_ref[0, :, (3 * h + 2) * d:(3 * h + 3) * d] = dv.astype(dqkv_ref.dtype)
+        # dP_d = dO Vᵀ
+        dp_all.append(jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ))
+        # δ = Σₖ dPₖ Pₖ = row-wise dO·O (O recomputed cheaply as P_d V)
+        o = jax.lax.dot_general(
+            p_d16[h * T:(h + 1) * T], v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        if rate > 0.0:
-            dp = jnp.where(keep, dp_d / (1.0 - rate), 0.0)
-        else:
-            dp = dp_d
-        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-        ds = ds * scale
+        delta_all.append(jnp.sum(do.astype(jnp.float32) * o, axis=-1, keepdims=True))
+    dp_d = jnp.concatenate(dp_all, axis=0)      # [H·T, T]
+    delta = jnp.concatenate(delta_all, axis=0)  # [H·T, 1]
+    if rate > 0.0:
+        dp = jnp.where(keep, dp_d / (1.0 - rate), 0.0)
+    else:
+        dp = dp_d
+    ds = ((p * (dp - delta)) * scale).astype(x.dtype)  # [H·T, T]
+
+    for h in range(n_heads):
+        q = x[:, (3 * h + 0) * d:(3 * h + 1) * d]
+        k = x[:, (3 * h + 1) * d:(3 * h + 2) * d]
+        ds_h = ds[h * T:(h + 1) * T]
         dq = jax.lax.dot_general(
-            ds, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            ds_h, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
         dk = jax.lax.dot_general(
-            ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            ds_h, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
         dqkv_ref[0, :, (3 * h + 0) * d:(3 * h + 1) * d] = dq.astype(dqkv_ref.dtype)
         dqkv_ref[0, :, (3 * h + 1) * d:(3 * h + 2) * d] = dk.astype(dqkv_ref.dtype)
-        dqkv_ref[0, :, (3 * h + 2) * d:(3 * h + 3) * d] = dv.astype(dqkv_ref.dtype)
 
 
 # --- save-probs variant: the forward additionally writes the pre-dropout
@@ -312,24 +357,29 @@ def _packed_bwd_kernel(
 
 def _packed_fwd_sp_kernel(seed_ref, qkv_ref, bias_ref, o_ref, p_ref,
                           *, scale, rate, n_heads, d, interpret=False):
+    # head-batched VPU stages — see _packed_fwd_kernel
     b = pl.program_id(0)
     bias = bias_ref[b]
     x = qkv_ref[0]
+    T = x.shape[0]
+    s_all = []
     for h in range(n_heads):
         q = x[:, (3 * h + 0) * d:(3 * h + 1) * d]
         k = x[:, (3 * h + 1) * d:(3 * h + 2) * d]
-        v = x[:, (3 * h + 2) * d:(3 * h + 3) * d]
-        s = jax.lax.dot_general(
+        s_all.append(jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        s = s * scale + bias[None, :]
-        p = _softmax_rows(s)
-        p_ref[0, h] = p.astype(p_ref.dtype)  # pre-dropout probs
-        if rate > 0.0:
-            keep = _dropout_keep(seed_ref[0] + b * n_heads + h, p.shape, rate, interpret)
-            p = jnp.where(keep, p / (1.0 - rate), 0.0)
+        ))
+    s = jnp.concatenate(s_all, axis=0) * scale + bias[None, :]
+    p = _softmax_rows(s)
+    p_ref[0] = p.reshape(n_heads, T, T).astype(p_ref.dtype)  # pre-dropout
+    if rate > 0.0:
+        keep = _dropout_keep(seed_ref[0] + b, p.shape, rate, interpret)
+        p = jnp.where(keep, p / (1.0 - rate), 0.0)
+    p = p.astype(x.dtype)
+    for h in range(n_heads):
+        v = x[:, (3 * h + 2) * d:(3 * h + 3) * d]
         o = jax.lax.dot_general(
-            p.astype(q.dtype), v, (((1,), (0,)), ((), ())),
+            p[h * T:(h + 1) * T], v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         o_ref[0, :, h * d:(h + 1) * d] = o.astype(o_ref.dtype)
@@ -337,45 +387,59 @@ def _packed_fwd_sp_kernel(seed_ref, qkv_ref, bias_ref, o_ref, p_ref,
 
 def _packed_bwd_sp_kernel(seed_ref, qkv_ref, p_ref, do_ref, dqkv_ref,
                           *, scale, rate, n_heads, d, interpret=False):
+    # as _packed_bwd_kernel but reads the saved pre-dropout probs instead of
+    # recomputing QKᵀ + softmax
     b = pl.program_id(0)
     x = qkv_ref[0]
+    do_all = do_ref[0]
+    T = x.shape[0]
+    p = p_ref[0].reshape(n_heads * T, T).astype(jnp.float32)
+    if rate > 0.0:
+        keep = _dropout_keep(seed_ref[0] + b, p.shape, rate, interpret)
+        p_d = jnp.where(keep, p / (1.0 - rate), 0.0)
+    else:
+        keep = None
+        p_d = p
+    p_d16 = p_d.astype(x.dtype)
+
+    dp_all = []
+    delta_all = []
+    for h in range(n_heads):
+        v = x[:, (3 * h + 2) * d:(3 * h + 3) * d]
+        do = do_all[:, h * d:(h + 1) * d]
+        dv = jax.lax.dot_general(
+            p_d16[h * T:(h + 1) * T], do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dqkv_ref[0, :, (3 * h + 2) * d:(3 * h + 3) * d] = dv.astype(dqkv_ref.dtype)
+        dp_all.append(jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ))
+        o = jax.lax.dot_general(
+            p_d16[h * T:(h + 1) * T], v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        delta_all.append(jnp.sum(do.astype(jnp.float32) * o, axis=-1, keepdims=True))
+    dp_d = jnp.concatenate(dp_all, axis=0)
+    delta = jnp.concatenate(delta_all, axis=0)
+    if rate > 0.0:
+        dp = jnp.where(keep, dp_d / (1.0 - rate), 0.0)
+    else:
+        dp = dp_d
+    ds = ((p * (dp - delta)) * scale).astype(x.dtype)
+
     for h in range(n_heads):
         q = x[:, (3 * h + 0) * d:(3 * h + 1) * d]
         k = x[:, (3 * h + 1) * d:(3 * h + 2) * d]
-        v = x[:, (3 * h + 2) * d:(3 * h + 3) * d]
-        do = do_ref[0, :, h * d:(h + 1) * d].astype(jnp.float32)
-        p = p_ref[0, h].astype(jnp.float32)  # saved pre-dropout probs
-
-        if rate > 0.0:
-            keep = _dropout_keep(seed_ref[0] + b * n_heads + h, p.shape, rate, interpret)
-            p_d = jnp.where(keep, p / (1.0 - rate), 0.0)
-        else:
-            p_d = p
-        dv = jax.lax.dot_general(
-            p_d.astype(do.dtype), do, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        dp_d = jax.lax.dot_general(
-            do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        if rate > 0.0:
-            dp = jnp.where(keep, dp_d / (1.0 - rate), 0.0)
-        else:
-            dp = dp_d
-        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-        ds = ds * scale
+        ds_h = ds[h * T:(h + 1) * T]
         dq = jax.lax.dot_general(
-            ds, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            ds_h, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
         dk = jax.lax.dot_general(
-            ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            ds_h, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
         dqkv_ref[0, :, (3 * h + 0) * d:(3 * h + 1) * d] = dq.astype(dqkv_ref.dtype)
         dqkv_ref[0, :, (3 * h + 1) * d:(3 * h + 2) * d] = dk.astype(dqkv_ref.dtype)
-        dqkv_ref[0, :, (3 * h + 2) * d:(3 * h + 3) * d] = dv.astype(dqkv_ref.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
