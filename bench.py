@@ -138,23 +138,31 @@ def measure_eval_qps(batch_size=64, K=20):
     return batch_size * K / dt
 
 
+TRAIN_FLOPS_PER_PAIR = 1.28e11  # bert-base fwd+bwd at T=228 (see BASELINE.md)
+V5E_PEAK_BF16 = 197e12
+
+
 def main():
     best = 0.0
     err = None
     # primary: unrolled layers (no scan residual-stacking copies) + fused
-    # attention kernel + tanh-approx gelu (error below the bf16 noise floor
-    # of the erf default; erf stays the model default for checkpoint
-    # parity); fallbacks: erf gelu, smaller batch, scanned layers
-    for bs, act, scan in (
-        (96, "gelu_tanh", False),
-        (96, "gelu", False),
-        (64, "gelu", False),
-        (64, "gelu", True),
+    # attention kernel + fused MLM-xent kernel + tanh-approx gelu (error
+    # below the bf16 noise floor of the erf default; erf stays the model
+    # default for checkpoint parity); fallbacks: erf gelu, smaller batch,
+    # scanned layers
+    for bs, act, scan, fx in (
+        (96, "gelu_tanh", False, True),
+        (96, "gelu_tanh", False, False),
+        (96, "gelu", False, False),
+        (64, "gelu", False, False),
+        (64, "gelu", True, False),
     ):
         try:
-            v = measure(bs, scan_layers=scan, hidden_act=act)
+            v = measure(bs, scan_layers=scan, hidden_act=act, fused_mlm_xent=fx)
+            mfu = v * TRAIN_FLOPS_PER_PAIR / V5E_PEAK_BF16
             print(
-                f"# batch={bs} act={act} scan_layers={scan}: {v:.1f} pairs/s/chip",
+                f"# batch={bs} act={act} scan_layers={scan} fused_xent={fx}: "
+                f"{v:.1f} pairs/s/chip (MFU {mfu:.1%} of 197 bf16 TFLOP/s)",
                 file=sys.stderr,
             )
             best = max(best, v)

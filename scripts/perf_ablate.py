@@ -197,6 +197,19 @@ if __name__ == "__main__":
         )
     if want("train_erf"):
         run_train("train: erf gelu", hidden_act="gelu", flash_save_probs=True)
-    if want("train_sp128"):
+    if want("train_fusedxent"):
+        run_train("train: fused mlm xent", fused_mlm_xent=True)
+    if want("train_fx_erf"):
+        run_train("train: fused xent + erf", fused_mlm_xent=True, hidden_act="gelu")
+    if want("train_nohid"):
+        run_train("train: hidden dropout 0", fused_mlm_xent=True,
+                  hidden_dropout_prob=0.0)
+    if want("train_nodrop"):
+        run_train("train: all dropout 0", fused_mlm_xent=True,
+                  hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0)
+    if want("train_fx_fln"):
+        run_train("train: fused xent + fused LN", fused_mlm_xent=True,
+                  use_fused_layer_norm=True)
+    if want("train_128"):
         BATCH = 128
-        run_train("train: save_probs, batch 128", flash_save_probs=True)
+        run_train("train: batch 128", fused_mlm_xent=True)

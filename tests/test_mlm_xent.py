@@ -1,0 +1,127 @@
+"""Fused MLM softmax-xent kernel (ops/mlm_xent.py): numerical parity with the
+unfused fp32-logits path, at the op level and through the pretraining model.
+Runs in Pallas interpret mode on CPU (conftest forces the cpu platform)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from visualbert_tpu.ops.mlm_xent import mlm_xent
+
+
+def _ref(x, E, b, labels):
+    logits = x @ E.T + b
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+    nll = -jnp.take_along_axis(logp, jnp.maximum(labels, 0)[:, None], 1)[:, 0]
+    return nll, jnp.argmax(logits, -1)
+
+
+@pytest.mark.parametrize("n,h,v", [(36, 64, 500), (8, 32, 128), (300, 96, 2600)])
+def test_op_parity(n, h, v):
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(n, h).astype(np.float32))
+    E = jnp.asarray(rng.randn(v, h).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.randn(v).astype(np.float32) * 0.1)
+    labels = jnp.asarray(rng.randint(0, v, n).astype(np.int32))
+
+    nll_k, am_k = jax.jit(lambda *a: mlm_xent(*a))(x, E, b, labels)
+    nll_r, am_r = jax.jit(_ref)(x, E, b, labels)
+    np.testing.assert_allclose(np.asarray(nll_k), np.asarray(nll_r), atol=1e-5)
+    assert (np.asarray(am_k) == np.asarray(am_r)).all()
+
+
+def test_op_grads():
+    rng = np.random.RandomState(1)
+    n, h, v = 48, 64, 640
+    x = jnp.asarray(rng.randn(n, h).astype(np.float32))
+    E = jnp.asarray(rng.randn(v, h).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.randn(v).astype(np.float32) * 0.1)
+    labels = np.asarray(rng.randint(0, v, n), np.int32)
+    labels[::5] = -1  # ignore_index rows
+    labels = jnp.asarray(labels)
+    valid = labels != -1
+    # non-uniform per-row weights exercise the cotangent plumbing
+    w = jnp.where(valid, jnp.linspace(0.5, 1.5, n), 0.0)
+
+    def loss_k(x, E, b):
+        nll, _ = mlm_xent(x, E, b, labels)
+        return (nll * w).sum()
+
+    def loss_r(x, E, b):
+        nll, _ = _ref(x, E, b, labels)
+        return (nll * w).sum()
+
+    gk = jax.jit(jax.grad(loss_k, argnums=(0, 1, 2)))(x, E, b)
+    gr = jax.jit(jax.grad(loss_r, argnums=(0, 1, 2)))(x, E, b)
+    for a, r in zip(gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r), atol=2e-5)
+
+
+def test_model_fused_equals_unfused():
+    """Pretraining model loss/accuracy identical (fp32 tolerance) with
+    fused_mlm_xent on and off, same params."""
+    import dataclasses
+
+    from visualbert_tpu.config import VisualBertConfig
+    from visualbert_tpu.models.visualbert import VisualBertForTask
+    from visualbert_tpu.train.trainer import unbox
+
+    cfg = VisualBertConfig.base(
+        vocab_size=384, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=2, intermediate_size=64,
+        max_position_embeddings=64, visual_embedding_dim=16,
+        dtype=jnp.float32,
+    )
+    rng = np.random.RandomState(0)
+    B, Tt, Tv, P = 4, 12, 5, 3
+    lm = np.full((B, Tt), -1, np.int32)
+    pos = np.zeros((B, P), np.int32)
+    for i in range(B):
+        p = rng.choice(np.arange(1, Tt), size=P, replace=False)
+        pos[i] = np.sort(p)
+        lm[i, pos[i]] = rng.randint(0, 384, P)
+    lm[0, pos[0][0]] = -1  # an ignored slot inside the gather
+    batch = {
+        "input_ids": rng.randint(0, 384, size=(B, Tt)).astype(np.int32),
+        "token_type_ids": np.zeros((B, Tt), np.int32),
+        "input_mask": np.ones((B, Tt), np.int32),
+        "visual_embeddings": rng.randn(B, Tv, 16).astype(np.float32),
+        "image_mask": np.ones((B, Tv), np.int32),
+        "masked_lm_labels": lm,
+        "mlm_positions": pos,
+        "is_random_next": rng.randint(0, 2, size=(B,)).astype(np.int32),
+    }
+    batch = jax.tree.map(jnp.asarray, batch)
+
+    model_ref = VisualBertForTask(cfg, head_type="pretraining")
+    params = unbox(model_ref.init({"params": jax.random.PRNGKey(0)}, batch)["params"])
+    out_ref = model_ref.apply({"params": params}, batch, deterministic=True)
+
+    cfg_f = dataclasses.replace(cfg, fused_mlm_xent=True)
+    model_f = VisualBertForTask(cfg_f, head_type="pretraining")
+    out_f = model_f.apply({"params": params}, batch, deterministic=True)
+
+    np.testing.assert_allclose(
+        float(out_f["loss"]), float(out_ref["loss"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(out_f["mlm_accuracy"]), float(out_ref["mlm_accuracy"]), rtol=1e-6
+    )
+    assert "logits" not in out_f  # fused path emits no logits tensor
+
+    # grads agree too
+    def loss_fn(m):
+        def f(p):
+            return m.apply({"params": p}, batch, deterministic=True)["loss"]
+        return f
+
+    g_ref = jax.grad(loss_fn(model_ref))(params)
+    g_f = jax.grad(loss_fn(model_f))(params)
+    flat_r = jax.tree_util.tree_leaves_with_path(g_ref)
+    flat_f = dict(jax.tree_util.tree_leaves_with_path(g_f))
+    for path, leaf in flat_r:
+        np.testing.assert_allclose(
+            np.asarray(flat_f[path]), np.asarray(leaf), atol=3e-6,
+            err_msg=str(path),
+        )

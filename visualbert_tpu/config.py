@@ -73,6 +73,12 @@ class VisualBertConfig:
     # tensor in fwd (bf16, ~2·H·T² bytes/row HBM) instead of recomputing
     # QKᵀ+softmax in bwd. Trades HBM for VPU exp time; off by default.
     flash_save_probs: bool = False
+    # Fused MLM softmax-xent Pallas kernel (ops/mlm_xent.py): streams the
+    # 30522-wide decoder through VMEM with an online logsumexp instead of
+    # materializing fp32 [N, vocab] logits (and their cotangent) in HBM.
+    # Loss/grad numerics match the unfused path; per-token logits are then
+    # not available in the output dict (metrics use the kernel's argmax).
+    fused_mlm_xent: bool = False
     # The (data, model) jax.sharding.Mesh the model will run under. REQUIRED
     # when use_flash_attention=True on >1 device: pallas_call has no GSPMD
     # partitioning rule, so the kernel is dispatched via shard_map over this

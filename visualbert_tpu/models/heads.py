@@ -47,12 +47,23 @@ class MLMTransform(nn.Module):
 
 
 class PreTrainingHeads(nn.Module):
-    """MLM (weight-tied) + sentence-image alignment (NSP-shaped) heads."""
+    """MLM (weight-tied) + sentence-image alignment (NSP-shaped) heads.
+
+    With ``cfg.fused_mlm_xent`` and ``labels`` given, the MLM branch returns
+    per-token (nll, argmax) from the fused Pallas softmax-xent kernel and no
+    logits tensor; otherwise it returns fp32 logits as the reference does.
+    """
 
     config: VisualBertConfig
 
     @nn.compact
-    def __call__(self, sequence_output: Array, pooled_output: Array, word_embedding: Array):
+    def __call__(
+        self,
+        sequence_output: Array,
+        pooled_output: Array,
+        word_embedding: Array,
+        labels: Array = None,
+    ):
         cfg = self.config
         transformed = MLMTransform(cfg, name="transform")(sequence_output)
         bias = self.param(
@@ -62,6 +73,28 @@ class PreTrainingHeads(nn.Module):
             cfg.param_dtype,
         )
         bias = bias.astype(jnp.float32) if isinstance(bias, jax.Array) else bias
+        nsp_logits = nn.Dense(
+            2,
+            dtype=cfg.dtype,
+            param_dtype=cfg.param_dtype,
+            kernel_init=nn.with_partitioning(
+                truncated_normal_init(cfg.initializer_range), ("embed", "classes")
+            ),
+            name="seq_relationship",
+        )(pooled_output).astype(jnp.float32)
+
+        if cfg.fused_mlm_xent and labels is not None:
+            from visualbert_tpu.ops.mlm_xent import mlm_xent
+
+            B, P, H = transformed.shape
+            nll, am = mlm_xent(
+                transformed.reshape(B * P, H),
+                word_embedding,
+                bias,
+                labels.reshape(B * P),
+            )
+            return None, nsp_logits, nll.reshape(B, P), am.reshape(B, P)
+
         # big vocab matmul: bf16 inputs, fp32 accumulation
         mlm_logits = (
             jnp.einsum(
@@ -72,16 +105,7 @@ class PreTrainingHeads(nn.Module):
             )
             + bias
         )
-        nsp_logits = nn.Dense(
-            2,
-            dtype=cfg.dtype,
-            param_dtype=cfg.param_dtype,
-            kernel_init=nn.with_partitioning(
-                truncated_normal_init(cfg.initializer_range), ("embed", "classes")
-            ),
-            name="seq_relationship",
-        )(pooled_output).astype(jnp.float32)
-        return mlm_logits, nsp_logits
+        return mlm_logits, nsp_logits, None, None
 
 
 class FlickrAttention(nn.Module):

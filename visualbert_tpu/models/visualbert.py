@@ -127,25 +127,47 @@ class VisualBertForTask(nn.Module):
                 gathered = jnp.take_along_axis(
                     sequence_output, mlm_positions[..., None], axis=1
                 )
-                mlm_logits, nsp_logits = self.cls(gathered, pooled_output, word_emb)
                 gathered_labels = (
                     None
                     if masked_lm_labels is None
                     else jnp.take_along_axis(masked_lm_labels, mlm_positions, axis=1)
                 )
+                # the fused-xent path emits no logits tensor, which
+                # vqa_advanced eval needs for answer decoding — gate on head
+                fuse_labels = (
+                    gathered_labels if self.head_type == "pretraining" else None
+                )
+                mlm_logits, nsp_logits, mlm_nll, mlm_pred = self.cls(
+                    gathered, pooled_output, word_emb, labels=fuse_labels
+                )
             else:
-                mlm_logits, nsp_logits = self.cls(sequence_output, pooled_output, word_emb)
                 gathered_labels = masked_lm_labels
-            out["logits"] = mlm_logits
+                fuse_labels = (
+                    gathered_labels if self.head_type == "pretraining" else None
+                )
+                mlm_logits, nsp_logits, mlm_nll, mlm_pred = self.cls(
+                    sequence_output, pooled_output, word_emb, labels=fuse_labels
+                )
+            if mlm_logits is not None:
+                out["logits"] = mlm_logits
             out["seq_relationship_score"] = nsp_logits
             total = 0.0
             if gathered_labels is not None:
-                mlm_loss = losses.cross_entropy_ignore_index(mlm_logits, gathered_labels)
+                valid = gathered_labels != -1
+                if mlm_nll is not None:
+                    # fused kernel path: per-token nll/argmax, same
+                    # ignore_index=-1 mean as cross_entropy_ignore_index
+                    count = jnp.maximum(valid.sum(), 1)
+                    mlm_loss = jnp.where(valid, mlm_nll, 0.0).sum() / count
+                    pred = mlm_pred
+                else:
+                    mlm_loss = losses.cross_entropy_ignore_index(
+                        mlm_logits, gathered_labels
+                    )
+                    pred = jnp.argmax(mlm_logits, axis=-1)
                 out["masked_lm_loss"] = mlm_loss
                 total = total + mlm_loss
                 # masked-token exact-match accuracy (cheap, on-device)
-                pred = jnp.argmax(mlm_logits, axis=-1)
-                valid = gathered_labels != -1
                 correct = jnp.where(valid, pred == gathered_labels, False)
                 out["mlm_accuracy"] = correct.sum() / jnp.maximum(valid.sum(), 1)
             if self.head_type == "pretraining" and batch.get("is_random_next") is not None:

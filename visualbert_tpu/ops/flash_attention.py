@@ -58,6 +58,27 @@ def _dropout_keep(seed_scalar, shape, rate: float, interpret: bool):
 LOG2E = 1.4426950408889634
 
 
+# Heads per group for the packed kernels' VPU stages: full-H batching of the
+# fp32 [H·T, T] intermediates overflows the backward kernel's 16 MB
+# scoped-VMEM budget, so both directions generate dropout in groups of this
+# size with group-salted seeds (forward and backward MUST regenerate
+# identical masks).
+_BWD_GROUP = 4
+
+
+def _dropout_keep_grouped(seed0, b, n_heads, shape_t, rate, interpret):
+    """[H·T, T] keep mask assembled per _BWD_GROUP of heads, matching the
+    seeds the grouped backward kernels use."""
+    T, TK = shape_t
+    parts = []
+    for g0 in range(0, n_heads, _BWD_GROUP):
+        G = min(_BWD_GROUP, n_heads - g0)
+        parts.append(
+            _dropout_keep(seed0 + b * n_heads + g0, (G * T, TK), rate, interpret)
+        )
+    return jnp.concatenate(parts, axis=0)
+
+
 def _softmax_rows(s):
     m = jnp.max(s, axis=-1, keepdims=True)
     # exp(x) as exp2(x·log2e): exp2 is the VPU's native exponential and the
@@ -263,7 +284,9 @@ def _packed_fwd_kernel(seed_ref, qkv_ref, bias_ref, o_ref, *, scale, rate, n_hea
     s = s * scale + bias[None, :]
     p = _softmax_rows(s)
     if rate > 0.0:
-        keep = _dropout_keep(seed_ref[0] + b, p.shape, rate, interpret)
+        keep = _dropout_keep_grouped(
+            seed_ref[0], b, n_heads, (T, p.shape[-1]), rate, interpret
+        )
         p = jnp.where(keep, p / (1.0 - rate), 0.0)
     p = p.astype(x.dtype)
     for h in range(n_heads):
@@ -283,70 +306,78 @@ def _packed_bwd_kernel(
     # [T, D] reduce instead of a [T, T] multiply+reduce. All matmuls take
     # bf16 operands with fp32 accumulation — fp32 operands would run the MXU
     # in its multi-pass fp32 mode; bf16 matches the XLA einsum-backward path.
+    # Heads are processed in groups of _BWD_GROUP: full-H batching of the
+    # fp32 [H·T, T] intermediates overflows the 16 MB scoped-VMEM budget.
     b = pl.program_id(0)
     bias = bias_ref[b]
     x = qkv_ref[0]
     do_all = do_ref[0]  # [T, H·D]
     T = x.shape[0]
 
-    s_all = []
-    for h in range(n_heads):
-        q = x[:, (3 * h + 0) * d:(3 * h + 1) * d]
-        k = x[:, (3 * h + 1) * d:(3 * h + 2) * d]
-        s_all.append(jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ))
-    s = jnp.concatenate(s_all, axis=0) * scale + bias[None, :]
-    p = _softmax_rows(s)  # [H·T, T] pre-dropout probs, fp32
-    if rate > 0.0:
-        keep = _dropout_keep(seed_ref[0] + b, p.shape, rate, interpret)
-        p_d = jnp.where(keep, p / (1.0 - rate), 0.0)
-    else:
-        keep = None
-        p_d = p
-    p_d16 = p_d.astype(x.dtype)
+    for g0 in range(0, n_heads, _BWD_GROUP):
+        heads = range(g0, min(g0 + _BWD_GROUP, n_heads))
+        G = len(heads)
+        s_all = [
+            jax.lax.dot_general(
+                x[:, (3 * h + 0) * d:(3 * h + 1) * d],
+                x[:, (3 * h + 1) * d:(3 * h + 2) * d],
+                (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            )
+            for h in heads
+        ]
+        s = jnp.concatenate(s_all, axis=0) * scale + bias[None, :]
+        p = _softmax_rows(s)  # [G·T, T] pre-dropout probs, fp32
+        if rate > 0.0:
+            keep = _dropout_keep(
+                seed_ref[0] + b * n_heads + g0, p.shape, rate, interpret
+            )
+            p_d = jnp.where(keep, p / (1.0 - rate), 0.0)
+        else:
+            keep = None
+            p_d = p
+        p_d16 = p_d.astype(x.dtype)
 
-    dp_all = []
-    delta_all = []
-    for h in range(n_heads):
-        v = x[:, (3 * h + 2) * d:(3 * h + 3) * d]
-        do = do_all[:, h * d:(h + 1) * d]
-        # dV = P_dᵀ dO
-        dv = jax.lax.dot_general(
-            p_d16[h * T:(h + 1) * T], do, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        dqkv_ref[0, :, (3 * h + 2) * d:(3 * h + 3) * d] = dv.astype(dqkv_ref.dtype)
-        # dP_d = dO Vᵀ
-        dp_all.append(jax.lax.dot_general(
-            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ))
-        # δ = Σₖ dPₖ Pₖ = row-wise dO·O (O recomputed cheaply as P_d V)
-        o = jax.lax.dot_general(
-            p_d16[h * T:(h + 1) * T], v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        delta_all.append(jnp.sum(do.astype(jnp.float32) * o, axis=-1, keepdims=True))
-    dp_d = jnp.concatenate(dp_all, axis=0)      # [H·T, T]
-    delta = jnp.concatenate(delta_all, axis=0)  # [H·T, 1]
-    if rate > 0.0:
-        dp = jnp.where(keep, dp_d / (1.0 - rate), 0.0)
-    else:
-        dp = dp_d
-    ds = ((p * (dp - delta)) * scale).astype(x.dtype)  # [H·T, T]
+        dp_all = []
+        delta_all = []
+        for j, h in enumerate(heads):
+            v = x[:, (3 * h + 2) * d:(3 * h + 3) * d]
+            do = do_all[:, h * d:(h + 1) * d]
+            # dV = P_dᵀ dO
+            dv = jax.lax.dot_general(
+                p_d16[j * T:(j + 1) * T], do, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dqkv_ref[0, :, (3 * h + 2) * d:(3 * h + 3) * d] = dv.astype(dqkv_ref.dtype)
+            # dP_d = dO Vᵀ
+            dp_all.append(jax.lax.dot_general(
+                do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            ))
+            # δ = Σₖ dPₖ Pₖ = row-wise dO·O (O recomputed cheaply as P_d V)
+            o = jax.lax.dot_general(
+                p_d16[j * T:(j + 1) * T], v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            delta_all.append(jnp.sum(do.astype(jnp.float32) * o, axis=-1, keepdims=True))
+        dp_d = jnp.concatenate(dp_all, axis=0)      # [G·T, T]
+        delta = jnp.concatenate(delta_all, axis=0)  # [G·T, 1]
+        if rate > 0.0:
+            dp = jnp.where(keep, dp_d / (1.0 - rate), 0.0)
+        else:
+            dp = dp_d
+        ds = ((p * (dp - delta)) * scale).astype(x.dtype)  # [G·T, T]
 
-    for h in range(n_heads):
-        q = x[:, (3 * h + 0) * d:(3 * h + 1) * d]
-        k = x[:, (3 * h + 1) * d:(3 * h + 2) * d]
-        ds_h = ds[h * T:(h + 1) * T]
-        dq = jax.lax.dot_general(
-            ds_h, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        dk = jax.lax.dot_general(
-            ds_h, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        dqkv_ref[0, :, (3 * h + 0) * d:(3 * h + 1) * d] = dq.astype(dqkv_ref.dtype)
-        dqkv_ref[0, :, (3 * h + 1) * d:(3 * h + 2) * d] = dk.astype(dqkv_ref.dtype)
+        for j, h in enumerate(heads):
+            q = x[:, (3 * h + 0) * d:(3 * h + 1) * d]
+            k = x[:, (3 * h + 1) * d:(3 * h + 2) * d]
+            ds_h = ds[j * T:(j + 1) * T]
+            dq = jax.lax.dot_general(
+                ds_h, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            dk = jax.lax.dot_general(
+                ds_h, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            dqkv_ref[0, :, (3 * h + 0) * d:(3 * h + 1) * d] = dq.astype(dqkv_ref.dtype)
+            dqkv_ref[0, :, (3 * h + 1) * d:(3 * h + 2) * d] = dk.astype(dqkv_ref.dtype)
 
 
 # --- save-probs variant: the forward additionally writes the pre-dropout
@@ -373,7 +404,9 @@ def _packed_fwd_sp_kernel(seed_ref, qkv_ref, bias_ref, o_ref, p_ref,
     p = _softmax_rows(s)
     p_ref[0] = p.reshape(n_heads, T, T).astype(p_ref.dtype)  # pre-dropout
     if rate > 0.0:
-        keep = _dropout_keep(seed_ref[0] + b, p.shape, rate, interpret)
+        keep = _dropout_keep_grouped(
+            seed_ref[0], b, n_heads, (T, p.shape[-1]), rate, interpret
+        )
         p = jnp.where(keep, p / (1.0 - rate), 0.0)
     p = p.astype(x.dtype)
     for h in range(n_heads):
@@ -388,58 +421,64 @@ def _packed_fwd_sp_kernel(seed_ref, qkv_ref, bias_ref, o_ref, p_ref,
 def _packed_bwd_sp_kernel(seed_ref, qkv_ref, p_ref, do_ref, dqkv_ref,
                           *, scale, rate, n_heads, d, interpret=False):
     # as _packed_bwd_kernel but reads the saved pre-dropout probs instead of
-    # recomputing QKᵀ + softmax
+    # recomputing QKᵀ + softmax; same _BWD_GROUP head grouping + seeding
     b = pl.program_id(0)
     x = qkv_ref[0]
     do_all = do_ref[0]
     T = x.shape[0]
-    p = p_ref[0].reshape(n_heads * T, T).astype(jnp.float32)
-    if rate > 0.0:
-        keep = _dropout_keep(seed_ref[0] + b, p.shape, rate, interpret)
-        p_d = jnp.where(keep, p / (1.0 - rate), 0.0)
-    else:
-        keep = None
-        p_d = p
-    p_d16 = p_d.astype(x.dtype)
 
-    dp_all = []
-    delta_all = []
-    for h in range(n_heads):
-        v = x[:, (3 * h + 2) * d:(3 * h + 3) * d]
-        do = do_all[:, h * d:(h + 1) * d]
-        dv = jax.lax.dot_general(
-            p_d16[h * T:(h + 1) * T], do, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        dqkv_ref[0, :, (3 * h + 2) * d:(3 * h + 3) * d] = dv.astype(dqkv_ref.dtype)
-        dp_all.append(jax.lax.dot_general(
-            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ))
-        o = jax.lax.dot_general(
-            p_d16[h * T:(h + 1) * T], v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        delta_all.append(jnp.sum(do.astype(jnp.float32) * o, axis=-1, keepdims=True))
-    dp_d = jnp.concatenate(dp_all, axis=0)
-    delta = jnp.concatenate(delta_all, axis=0)
-    if rate > 0.0:
-        dp = jnp.where(keep, dp_d / (1.0 - rate), 0.0)
-    else:
-        dp = dp_d
-    ds = ((p * (dp - delta)) * scale).astype(x.dtype)
+    for g0 in range(0, n_heads, _BWD_GROUP):
+        heads = range(g0, min(g0 + _BWD_GROUP, n_heads))
+        G = len(heads)
+        p = p_ref[0, g0:g0 + G].reshape(G * T, T).astype(jnp.float32)
+        if rate > 0.0:
+            keep = _dropout_keep(
+                seed_ref[0] + b * n_heads + g0, p.shape, rate, interpret
+            )
+            p_d = jnp.where(keep, p / (1.0 - rate), 0.0)
+        else:
+            keep = None
+            p_d = p
+        p_d16 = p_d.astype(x.dtype)
 
-    for h in range(n_heads):
-        q = x[:, (3 * h + 0) * d:(3 * h + 1) * d]
-        k = x[:, (3 * h + 1) * d:(3 * h + 2) * d]
-        ds_h = ds[h * T:(h + 1) * T]
-        dq = jax.lax.dot_general(
-            ds_h, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        dk = jax.lax.dot_general(
-            ds_h, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        dqkv_ref[0, :, (3 * h + 0) * d:(3 * h + 1) * d] = dq.astype(dqkv_ref.dtype)
-        dqkv_ref[0, :, (3 * h + 1) * d:(3 * h + 2) * d] = dk.astype(dqkv_ref.dtype)
+        dp_all = []
+        delta_all = []
+        for j, h in enumerate(heads):
+            v = x[:, (3 * h + 2) * d:(3 * h + 3) * d]
+            do = do_all[:, h * d:(h + 1) * d]
+            dv = jax.lax.dot_general(
+                p_d16[j * T:(j + 1) * T], do, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dqkv_ref[0, :, (3 * h + 2) * d:(3 * h + 3) * d] = dv.astype(dqkv_ref.dtype)
+            dp_all.append(jax.lax.dot_general(
+                do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            ))
+            o = jax.lax.dot_general(
+                p_d16[j * T:(j + 1) * T], v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            delta_all.append(jnp.sum(do.astype(jnp.float32) * o, axis=-1, keepdims=True))
+        dp_d = jnp.concatenate(dp_all, axis=0)
+        delta = jnp.concatenate(delta_all, axis=0)
+        if rate > 0.0:
+            dp = jnp.where(keep, dp_d / (1.0 - rate), 0.0)
+        else:
+            dp = dp_d
+        ds = ((p * (dp - delta)) * scale).astype(x.dtype)
+
+        for j, h in enumerate(heads):
+            q = x[:, (3 * h + 0) * d:(3 * h + 1) * d]
+            k = x[:, (3 * h + 1) * d:(3 * h + 2) * d]
+            ds_h = ds[j * T:(j + 1) * T]
+            dq = jax.lax.dot_general(
+                ds_h, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            dk = jax.lax.dot_general(
+                ds_h, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            dqkv_ref[0, :, (3 * h + 0) * d:(3 * h + 1) * d] = dq.astype(dqkv_ref.dtype)
+            dqkv_ref[0, :, (3 * h + 1) * d:(3 * h + 2) * d] = dk.astype(dqkv_ref.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
