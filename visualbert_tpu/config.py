@@ -195,6 +195,10 @@ class TrainConfig:
     seed: int = 42
     save_every: Optional[int] = None  # mid-epoch checkpoint cadence
     log_every: int = 100
+    # Host-pipeline threads fetching each batch's samples (0 = sequential).
+    # Deterministic at any worker count (per-sample index-derived RNG); the
+    # TPU analogue of the reference DataLoader's num_workers.
+    num_workers: int = 8
     # Mesh geometry: (data, model) axis sizes; model=1 → pure DP.
     mesh_shape: Tuple[int, int] = (1, 1)
     # skip the update when the loss is non-finite (in-graph failure guard;

@@ -39,7 +39,14 @@ def default_collate(samples: Sequence[Dict[str, np.ndarray]]) -> Dict[str, np.nd
 
 
 class Batcher:
-    """Iterate batches of a dataset with per-epoch shuffling."""
+    """Iterate batches of a dataset with per-epoch shuffling.
+
+    ``num_workers > 0`` fetches the samples of each batch through a thread
+    pool — bit-identical to the sequential path because every sample's RNG is
+    derived from ``(seed, epoch, index)``, never from thread identity (the
+    TPU-native replacement for the reference's fork-based DataLoader
+    workers; threads suffice because the hot per-sample work — numpy
+    copies, the C++ tokenizer — releases the GIL)."""
 
     def __init__(
         self,
@@ -51,6 +58,7 @@ class Batcher:
         drop_last: bool = True,
         collate: Callable = default_collate,
         pad_final: bool = False,
+        num_workers: int = 0,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -59,12 +67,26 @@ class Batcher:
         self.drop_last = drop_last
         self.collate = collate
         self.pad_final = pad_final
+        self.num_workers = num_workers
+        self._pool = None
+
+    def _get_pool(self):
+        if self._pool is None and self.num_workers > 0:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(max_workers=self.num_workers)
+        return self._pool
+
+    def _fetch(self, epoch: int, i: int):
+        rng = np.random.default_rng((self.seed, epoch, int(i)))
+        return self.dataset[(int(i), rng)]
 
     def epoch(self, epoch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
         n = len(self.dataset)
         order = np.arange(n)
         if self.shuffle:
             np.random.default_rng((self.seed, epoch)).shuffle(order)
+        pool = self._get_pool()
         for start in range(0, n, self.batch_size):
             idx = order[start : start + self.batch_size]
             if len(idx) < self.batch_size:
@@ -75,10 +97,10 @@ class Batcher:
                     # 'example_weight' to mask duplicates out of metrics
                     pad = np.resize(idx, self.batch_size)
                     idx = pad
-            samples = []
-            for i in idx:
-                rng = np.random.default_rng((self.seed, epoch, int(i)))
-                samples.append(self.dataset[(int(i), rng)])
+            if pool is not None:
+                samples = list(pool.map(lambda i: self._fetch(epoch, i), idx))
+            else:
+                samples = [self._fetch(epoch, i) for i in idx]
             yield self.collate(samples)
 
     def __iter__(self):
@@ -137,7 +159,9 @@ def pad_regions(
     """Pad region features [n, D] → ([max, D], mask [max]); extra arrays are
     padded along axis 0 with zeros."""
     n = min(feats.shape[0], max_regions)
-    out = pad_to(feats.astype(np.float32), max_regions, axis=0)
+    # asarray, not astype: fp32 inputs (the common case — H5/npy caches store
+    # fp32) must not pay a per-sample copy of the [n, 2048] block
+    out = pad_to(np.asarray(feats, np.float32), max_regions, axis=0)
     mask = np.zeros(max_regions, np.int32)
     mask[:n] = 1
     extras = {}

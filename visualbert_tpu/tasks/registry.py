@@ -42,7 +42,12 @@ def register(name):
 def _tokenizer(cfg: TaskConfig) -> BertTokenizer:
     vocab_file = cfg.data.get("vocab_file")
     if vocab_file:
-        return BertTokenizer.from_file(vocab_file)
+        # C++ WordPiece fast path when buildable (byte-exact with the Python
+        # tokenizer; transparently falls back per-string on non-ASCII)
+        from visualbert_tpu.data.fast_tokenizer import FastBertTokenizer
+        from visualbert_tpu.data.tokenization import load_vocab
+
+        return FastBertTokenizer(load_vocab(vocab_file))
     # synthetic fallback vocabulary
     words = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]", "?"] + [
         f"w{i}" for i in range(100)
@@ -63,11 +68,15 @@ def _run_fit(cfg: TaskConfig, trainer, train_ds, eval_ds, val_metric="accuracy",
              dump_hook=None, val_metric_higher_is_better=None):
     if val_metric_higher_is_better is None:
         val_metric_higher_is_better = val_metric != "loss"
-    train_b = Batcher(train_ds, cfg.train.train_batch_size, seed=cfg.train.seed)
+    train_b = Batcher(
+        train_ds, cfg.train.train_batch_size, seed=cfg.train.seed,
+        num_workers=cfg.train.num_workers,
+    )
     eval_b = (
         Batcher(
             eval_ds, cfg.train.eval_batch_size, shuffle=False,
             seed=cfg.train.seed, drop_last=False, pad_final=True,
+            num_workers=cfg.train.num_workers,
         )
         if eval_ds is not None
         else None
@@ -147,7 +156,9 @@ def _restore(cfg: TaskConfig, trainer, state):
 
         state = CheckpointManager(path).restore(state)
         log.info("restored orbax checkpoint %s", path)
-    return state
+    # restored leaves are host/unsharded — re-place onto the trainer's mesh
+    # shardings so TP eval doesn't silently run replicated
+    return trainer.reshard_state(state)
 
 
 # ---- task builders ----
@@ -569,7 +580,9 @@ def run_unsup_pretrain(cfg: TaskConfig):
         matched_prob=float(d.get("matched_prob", 0.5)),
         **ds_kwargs,
     )
-    sources = [Batcher(vl, cfg.train.train_batch_size, seed=cfg.train.seed)]
+    workers = cfg.train.num_workers
+    sources = [Batcher(vl, cfg.train.train_batch_size, seed=cfg.train.seed,
+                       num_workers=workers)]
     ratios = [1.0]
     if d.get("image_only_ratio"):
         # image-only hybrid source: same V&L entries without a text stream
@@ -581,7 +594,8 @@ def run_unsup_pretrain(cfg: TaskConfig):
         img_only = up.UnsupervisedPretrainDataset(
             img_ann, feats, tok, sym, image_only=True, **ds_kwargs
         )
-        sources.append(Batcher(img_only, cfg.train.train_batch_size, seed=cfg.train.seed + 1))
+        sources.append(Batcher(img_only, cfg.train.train_batch_size,
+                               seed=cfg.train.seed + 1, num_workers=workers))
         ratios.append(float(d["image_only_ratio"]))
     if "text_corpus" in d:
         corpus = PackedCorpus.load(d["text_corpus"])
@@ -590,7 +604,8 @@ def run_unsup_pretrain(cfg: TaskConfig):
             max_seq_length=int(d.get("text_seq_length", 64)),
             matched_objective=bool(d.get("text_matched_objective", False)),
         )
-        sources.append(Batcher(txt, cfg.train.train_batch_size, seed=cfg.train.seed))
+        sources.append(Batcher(txt, cfg.train.train_batch_size,
+                               seed=cfg.train.seed, num_workers=workers))
         ratios.append(float(d.get("text_ratio", 1.0)))
     hybrid = HybridBatcher(sources, ratios, seed=cfg.train.seed)
 
@@ -612,7 +627,8 @@ def run_unsup_pretrain(cfg: TaskConfig):
             matched_prob=float(d.get("matched_prob", 0.5)),
             **ds_kwargs,
         )
-        val_batcher = Batcher(val, cfg.train.eval_batch_size, seed=cfg.train.seed)
+        val_batcher = Batcher(val, cfg.train.eval_batch_size, seed=cfg.train.seed,
+                              num_workers=workers)
         eval_data = lambda: prefetch(val_batcher.epoch(0))
 
     model = UnsupervisedVisualBert(ucfg)

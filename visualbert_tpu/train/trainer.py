@@ -235,6 +235,22 @@ class Trainer:
             self._eval_step = jax.jit(step)
         return self._eval_step
 
+    def reshard_state(self, state: TrainState) -> TrainState:
+        """Re-place a state's leaves onto this trainer's mesh shardings.
+
+        Restored checkpoints (orbax on a different topology, torch imports —
+        plain numpy) arrive unsharded; on a TP mesh the eval path would then
+        silently run replicated. Explicit device_put restores the intended
+        layout (no-op when already placed correctly)."""
+        assert self._specs is not None, "call init_state() before reshard_state()"
+
+        def put(x, s):
+            if hasattr(x, "shape"):
+                return jax.device_put(x, NamedSharding(self.mesh, s))
+            return x
+
+        return jax.tree.map(put, state, self._specs)
+
     # ---- data placement ----
 
     def shard_batch(self, batch: Dict[str, np.ndarray], stacked: bool = False):
