@@ -210,6 +210,11 @@ if __name__ == "__main__":
     if want("train_fx_fln"):
         run_train("train: fused xent + fused LN", fused_mlm_xent=True,
                   use_fused_layer_norm=True)
+    if want("train_relu"):
+        run_train("train: relu act", fused_mlm_xent=True, hidden_act="relu")
+    if want("train_norecomp"):
+        run_train("train: ffn_recompute_act off", fused_mlm_xent=True,
+                  ffn_recompute_act=False)
     if want("train_128"):
         BATCH = 128
         run_train("train: batch 128", fused_mlm_xent=True)

@@ -62,7 +62,8 @@ def test_vcr_end_to_end_train(tok):
     )
     ann, images = vcr_ds.make_synthetic(32, tok)
     ds = vcr_ds.VCRDataset(ann, images, tok, max_seq_length=20, max_boxes=4)
-    model = VisualBertDetectorModel(cfg, final_dim=64, num_choices=4)
+    model = VisualBertDetectorModel(cfg, final_dim=64, num_choices=4,
+                                    trunk_blocks=(1, 1, 1), layer4_blocks=1)
     trainer = Trainer(
         model=model,
         opt_config=OptimizerConfig(learning_rate=5e-4, schedule=None, t_total=-1),
@@ -100,7 +101,8 @@ def test_vcr_pretrain_dataset(tok):
         attention_probs_dropout_prob=0.0,
     )
     model = VisualBertDetectorModel(cfg, head_type="pretraining",
-                                    final_dim=64, num_choices=1)
+                                    final_dim=64, num_choices=1,
+                                    trunk_blocks=(1, 1, 1), layer4_blocks=1)
     from visualbert_tpu.data.pipeline import Batcher
 
     batch = next(iter(Batcher(ds, 8, seed=0).epoch(0)))

@@ -108,9 +108,15 @@ class ResNetStage(nn.Module):
 
 
 class ResNet50Trunk(nn.Module):
-    """conv1 .. layer3 (output stride 16, 1024ch)."""
+    """conv1 .. layer3 (output stride 16, 1024ch).
+
+    ``blocks`` sets the bottleneck count per stage — (3, 4, 6) is resnet50
+    (the reference's only backbone, detector.py:31); other depths (e.g.
+    resnet101's (3, 4, 23), or (1, 1, 1) for fast tests) reuse the same
+    parameter layout per block."""
 
     dtype: Any = jnp.bfloat16
+    blocks: tuple = (3, 4, 6)
 
     @nn.compact
     def __call__(self, images: Array) -> Array:  # [B, H, W, 3] → [B, H/16, W/16, 1024]
@@ -119,9 +125,9 @@ class ResNet50Trunk(nn.Module):
         x = FrozenBatchNorm(64, self.dtype, name="bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
-        x = ResNetStage(64, 3, 1, False, self.dtype, name="layer1")(x)
-        x = ResNetStage(128, 4, 2, True, self.dtype, name="layer2")(x)
-        x = ResNetStage(256, 6, 2, True, self.dtype, name="layer3")(x)
+        x = ResNetStage(64, self.blocks[0], 1, False, self.dtype, name="layer1")(x)
+        x = ResNetStage(128, self.blocks[1], 2, True, self.dtype, name="layer2")(x)
+        x = ResNetStage(256, self.blocks[2], 2, True, self.dtype, name="layer3")(x)
         return x
 
 
@@ -129,10 +135,11 @@ class ResNet50Layer4(nn.Module):
     """layer4 with stride 1 (post-RoI head)."""
 
     dtype: Any = jnp.bfloat16
+    blocks: int = 3
 
     @nn.compact
     def __call__(self, x: Array) -> Array:  # [N, 7, 7, 1024] → [N, 7, 7, 2048]
-        return ResNetStage(512, 3, 1, True, self.dtype, name="layer4")(x)
+        return ResNetStage(512, self.blocks, 1, True, self.dtype, name="layer4")(x)
 
 
 class SimpleDetector(nn.Module):
@@ -144,6 +151,10 @@ class SimpleDetector(nn.Module):
     mask_dims: int = 32
     dtype: Any = jnp.bfloat16
     dropout_rate: float = 0.1
+    # backbone depth: ((layer1, layer2, layer3), layer4) bottleneck counts;
+    # default = resnet50 (the reference backbone)
+    trunk_blocks: tuple = (3, 4, 6)
+    layer4_blocks: int = 3
 
     @nn.compact
     def __call__(
@@ -156,7 +167,7 @@ class SimpleDetector(nn.Module):
         deterministic: bool = True,
     ):
         B, N = boxes.shape[:2]
-        fm = ResNet50Trunk(self.dtype, name="backbone")(images)
+        fm = ResNet50Trunk(self.dtype, self.trunk_blocks, name="backbone")(images)
         # sampling_ratio=0 = torchvision's adaptive quadrature (detector.py:71-73)
         roi = roi_align(fm, boxes, out_size=7, sampling_ratio=0, spatial_scale=1 / 16)
         roi = roi.reshape(B * N, 7, 7, fm.shape[-1])
@@ -168,7 +179,7 @@ class SimpleDetector(nn.Module):
                         name="mask_upsample")(m)
             roi = roi.at[..., : self.mask_dims].add(m)
 
-        post = ResNet50Layer4(self.dtype, name="after_roi_align")(roi)
+        post = ResNet50Layer4(self.dtype, self.layer4_blocks, name="after_roi_align")(roi)
         post = post.mean(axis=(1, 2))  # [B*N, 2048] global average pool
 
         obj_logits = nn.Dense(self.num_classes, dtype=self.dtype,

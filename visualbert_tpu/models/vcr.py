@@ -40,11 +40,16 @@ class VisualBertDetectorModel(nn.Module):
     final_dim: int = 512
     cnn_loss_ratio: float = 0.1
     train_detector: bool = True
+    # backbone depth (resnet50 default; tests use shallow trunks)
+    trunk_blocks: tuple = (3, 4, 6)
+    layer4_blocks: int = 3
 
     def setup(self):
         self.detector = SimpleDetector(
             final_dim=self.final_dim,
             dtype=self.config.dtype,
+            trunk_blocks=self.trunk_blocks,
+            layer4_blocks=self.layer4_blocks,
             name="detector",
         )
         self.bert_objective = VisualBertForTask(

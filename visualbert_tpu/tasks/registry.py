@@ -367,6 +367,8 @@ def run_vcr_coco_pretrain(cfg: TaskConfig):
         head_type="pretraining",
         final_dim=int(d.get("final_dim", 512)),
         cnn_loss_ratio=float(d.get("cnn_loss_ratio", 0.1)),
+        trunk_blocks=tuple(d.get("trunk_blocks", (3, 4, 6))),
+        layer4_blocks=int(d.get("layer4_blocks", 3)),
     )
     if not cfg.optimizer.frozen:
         import dataclasses as _dc
@@ -524,6 +526,8 @@ def run_vcr(cfg: TaskConfig):
         cfg.model,
         final_dim=int(d.get("final_dim", 512)),
         cnn_loss_ratio=float(d.get("cnn_loss_ratio", 0.1)),
+        trunk_blocks=tuple(d.get("trunk_blocks", (3, 4, 6))),
+        layer4_blocks=int(d.get("layer4_blocks", 3)),
     )
     trainer = _trainer(cfg, model)
 
