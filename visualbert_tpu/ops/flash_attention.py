@@ -63,18 +63,18 @@ LOG2E = 1.4426950408889634
 # scoped-VMEM budget, so both directions generate dropout in groups of this
 # size with group-salted seeds (forward and backward MUST regenerate
 # identical masks).
-_BWD_GROUP = 4
+_BWD_GROUP = 6
 
 
 def _dropout_keep_grouped(seed0, b, n_heads, shape_t, rate, interpret):
-    """[H·T, T] keep mask assembled per _BWD_GROUP of heads, matching the
+    """[H, T, T] keep mask assembled per _BWD_GROUP of heads, matching the
     seeds the grouped backward kernels use."""
     T, TK = shape_t
     parts = []
     for g0 in range(0, n_heads, _BWD_GROUP):
         G = min(_BWD_GROUP, n_heads - g0)
         parts.append(
-            _dropout_keep(seed0 + b * n_heads + g0, (G * T, TK), rate, interpret)
+            _dropout_keep(seed0 + b * n_heads + g0, (G, T, TK), rate, interpret)
         )
     return jnp.concatenate(parts, axis=0)
 
@@ -263,16 +263,24 @@ _flash.defvjp(_flash_fwd, _flash_bwd)
 # ---------------------------------------------------------------------------
 
 
-def _packed_fwd_kernel(seed_ref, qkv_ref, bias_ref, o_ref, *, scale, rate, n_heads, d, interpret=False):
+def _packed_fwd_kernel(seed_ref, qkv_ref, bias_ref, o_ref, stats_ref,
+                       *, scale, rate, n_heads, d, interpret=False):
     # MXU stages (QKᵀ, PV) loop over heads — the per-head [T, D] tiles are
     # static lane slices of the packed VMEM block. VPU stages (softmax,
-    # dropout) run ONCE over the stacked [H·T, T] scores: batching the heads
-    # amortizes per-op dispatch and pads sublanes only once (H·T is a
-    # multiple of 8); the VPU, not the MXU, is this kernel's bottleneck.
+    # dropout) run ONCE over the STACKED [H, T, T] scores: batching the heads
+    # amortizes per-op dispatch, and the 3D stack keeps every head's [T, T]
+    # tile sublane-aligned (a 2D [H·T, T] concat at T=228 puts every other
+    # head at a 4-sublane offset → Mosaic relayout shifts on each block).
+    #
+    # Softmax runs in the base-2 domain (t = s·scale·log2e + bias·log2e;
+    # p = exp2(t − max t)·recip(Σ)) and the per-row (max, recip-sum) pair is
+    # written to ``stats_ref`` [H, T, 2] so the backward regenerates p with
+    # one fma + exp2 + mul — no cross-lane max/sum reductions.
     b = pl.program_id(0)
-    bias = bias_ref[b]
+    bias2 = bias_ref[b] * LOG2E  # [T]
     x = qkv_ref[0]  # [T, H·3·D]
     T = x.shape[0]
+    c1 = scale * LOG2E
     s_all = []
     for h in range(n_heads):
         q = x[:, (3 * h + 0) * d:(3 * h + 1) * d]
@@ -280,39 +288,56 @@ def _packed_fwd_kernel(seed_ref, qkv_ref, bias_ref, o_ref, *, scale, rate, n_hea
         s_all.append(jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ))
-    s = jnp.concatenate(s_all, axis=0)  # [H·T, T]
-    s = s * scale + bias[None, :]
-    p = _softmax_rows(s)
+    t = jnp.stack(s_all) * c1 + bias2[None, None, :]  # [H, T, T]
+    m2 = jnp.max(t, axis=-1, keepdims=True)
+    e = jnp.exp2(t - m2)
+    r = pl.reciprocal(jnp.sum(e, axis=-1, keepdims=True), approx=False)
+    p = e * r
+    # stats layout [T, 2H] (lanes = 2H, sublanes = T): a [H, T, 2] block
+    # would pad its 2-wide lane dim to 128 (64× HBM bloat); here the packed
+    # columns stay lane-resident and the backward slices [T, 1] columns
+    # directly (no transpose).
+    for h in range(n_heads):
+        stats_ref[0, :, 2 * h:2 * h + 1] = m2[h]
+        stats_ref[0, :, 2 * h + 1:2 * h + 2] = r[h]
     if rate > 0.0:
         keep = _dropout_keep_grouped(
             seed_ref[0], b, n_heads, (T, p.shape[-1]), rate, interpret
         )
-        p = jnp.where(keep, p / (1.0 - rate), 0.0)
+        p = jnp.where(keep, p * (1.0 / (1.0 - rate)), 0.0)
     p = p.astype(x.dtype)
     for h in range(n_heads):
         v = x[:, (3 * h + 2) * d:(3 * h + 3) * d]
         o = jax.lax.dot_general(
-            p[h * T:(h + 1) * T], v, (((1,), (0,)), ((), ())),
+            p[h], v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         o_ref[0, :, h * d:(h + 1) * d] = o.astype(o_ref.dtype)
 
 
 def _packed_bwd_kernel(
-    seed_ref, qkv_ref, bias_ref, do_ref, dqkv_ref, *, scale, rate, n_heads, d, interpret=False
+    seed_ref, qkv_ref, bias_ref, do_ref, o_ref, stats_ref, dqkv_ref,
+    *, scale, rate, n_heads, d, interpret=False
 ):
-    # Same head-batched VPU structure as the forward (see _packed_fwd_kernel)
-    # plus the flash-attention delta identity: Σₖ dPₖ·Pₖ = dO·O row-wise, a
-    # [T, D] reduce instead of a [T, T] multiply+reduce. All matmuls take
-    # bf16 operands with fp32 accumulation — fp32 operands would run the MXU
-    # in its multi-pass fp32 mode; bf16 matches the XLA einsum-backward path.
+    # Same head-batched VPU structure as the forward (see _packed_fwd_kernel).
+    # The VPU is this kernel's bottleneck, so the softmax regeneration leans
+    # on the forward's saved stats: p = exp2(t − m2)·r is one fma + exp2 +
+    # mul per element — no cross-lane max/sum reductions. The delta identity
+    # Σₖ dPₖ·Pₖ = row-wise dO·O uses the forward OUTPUT passed in ``o_ref``
+    # (no PV recompute matmul), and ·scale is applied to the small [T, D]
+    # dq/dk outputs instead of the [G, T, T] ds. All matmuls take bf16
+    # operands with fp32 accumulation — fp32 operands would run the MXU in
+    # its multi-pass fp32 mode; bf16 matches the XLA einsum-backward path.
     # Heads are processed in groups of _BWD_GROUP: full-H batching of the
     # fp32 [H·T, T] intermediates overflows the 16 MB scoped-VMEM budget.
     b = pl.program_id(0)
-    bias = bias_ref[b]
+    bias2 = bias_ref[b] * LOG2E
     x = qkv_ref[0]
     do_all = do_ref[0]  # [T, H·D]
+    o_all = o_ref[0]    # [T, H·D]
     T = x.shape[0]
+    c1 = scale * LOG2E
+    inv = 1.0 / (1.0 - rate) if rate > 0.0 else 1.0
 
     for g0 in range(0, n_heads, _BWD_GROUP):
         heads = range(g0, min(g0 + _BWD_GROUP, n_heads))
@@ -325,17 +350,18 @@ def _packed_bwd_kernel(
             )
             for h in heads
         ]
-        s = jnp.concatenate(s_all, axis=0) * scale + bias[None, :]
-        p = _softmax_rows(s)  # [G·T, T] pre-dropout probs, fp32
+        t = jnp.stack(s_all) * c1 + bias2[None, None, :]
+        m2 = jnp.stack([stats_ref[0, :, 2 * h:2 * h + 1] for h in heads])  # [G, T, 1]
+        r = jnp.stack([stats_ref[0, :, 2 * h + 1:2 * h + 2] for h in heads])
+        p = jnp.exp2(t - m2) * r  # [G, T, T] pre-dropout probs, fp32
         if rate > 0.0:
             keep = _dropout_keep(
                 seed_ref[0] + b * n_heads + g0, p.shape, rate, interpret
             )
-            p_d = jnp.where(keep, p / (1.0 - rate), 0.0)
+            p_d16 = jnp.where(keep, p * inv, 0.0).astype(x.dtype)
         else:
             keep = None
-            p_d = p
-        p_d16 = p_d.astype(x.dtype)
+            p_d16 = p.astype(x.dtype)
 
         dp_all = []
         delta_all = []
@@ -344,7 +370,7 @@ def _packed_bwd_kernel(
             do = do_all[:, h * d:(h + 1) * d]
             # dV = P_dᵀ dO
             dv = jax.lax.dot_general(
-                p_d16[j * T:(j + 1) * T], do, (((0,), (0,)), ((), ())),
+                p_d16[j], do, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             dqkv_ref[0, :, (3 * h + 2) * d:(3 * h + 3) * d] = dv.astype(dqkv_ref.dtype)
@@ -352,32 +378,31 @@ def _packed_bwd_kernel(
             dp_all.append(jax.lax.dot_general(
                 do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
             ))
-            # δ = Σₖ dPₖ Pₖ = row-wise dO·O (O recomputed cheaply as P_d V)
-            o = jax.lax.dot_general(
-                p_d16[j * T:(j + 1) * T], v, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+            # δ = Σₖ dPₖ Pₖ = row-wise dO·O (O is the saved forward output)
+            o = o_all[:, h * d:(h + 1) * d].astype(jnp.float32)
+            delta_all.append(
+                jnp.sum(do.astype(jnp.float32) * o, axis=-1, keepdims=True)
             )
-            delta_all.append(jnp.sum(do.astype(jnp.float32) * o, axis=-1, keepdims=True))
-        dp_d = jnp.concatenate(dp_all, axis=0)      # [G·T, T]
-        delta = jnp.concatenate(delta_all, axis=0)  # [G·T, 1]
+        dp_d = jnp.stack(dp_all)      # [G, T, T]
+        delta = jnp.stack(delta_all)  # [G, T, 1]
         if rate > 0.0:
-            dp = jnp.where(keep, dp_d / (1.0 - rate), 0.0)
+            dp = jnp.where(keep, dp_d * inv, 0.0)
         else:
             dp = dp_d
-        ds = ((p * (dp - delta)) * scale).astype(x.dtype)  # [G·T, T]
+        ds = (p * (dp - delta)).astype(x.dtype)  # [G, T, T]; ·scale on dq/dk
 
         for j, h in enumerate(heads):
             q = x[:, (3 * h + 0) * d:(3 * h + 1) * d]
             k = x[:, (3 * h + 1) * d:(3 * h + 2) * d]
-            ds_h = ds[j * T:(j + 1) * T]
+            ds_h = ds[j]
             dq = jax.lax.dot_general(
                 ds_h, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
             )
             dk = jax.lax.dot_general(
                 ds_h, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
             )
-            dqkv_ref[0, :, (3 * h + 0) * d:(3 * h + 1) * d] = dq.astype(dqkv_ref.dtype)
-            dqkv_ref[0, :, (3 * h + 1) * d:(3 * h + 2) * d] = dk.astype(dqkv_ref.dtype)
+            dqkv_ref[0, :, (3 * h + 0) * d:(3 * h + 1) * d] = (dq * scale).astype(dqkv_ref.dtype)
+            dqkv_ref[0, :, (3 * h + 1) * d:(3 * h + 2) * d] = (dk * scale).astype(dqkv_ref.dtype)
 
 
 # --- save-probs variant: the forward additionally writes the pre-dropout
@@ -400,9 +425,9 @@ def _packed_fwd_sp_kernel(seed_ref, qkv_ref, bias_ref, o_ref, p_ref,
         s_all.append(jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ))
-    s = jnp.concatenate(s_all, axis=0) * scale + bias[None, :]
-    p = _softmax_rows(s)
-    p_ref[0] = p.reshape(n_heads, T, T).astype(p_ref.dtype)  # pre-dropout
+    s = jnp.stack(s_all) * scale + bias[None, None, :]
+    p = _softmax_rows(s)  # [H, T, T]
+    p_ref[0] = p.astype(p_ref.dtype)  # pre-dropout
     if rate > 0.0:
         keep = _dropout_keep_grouped(
             seed_ref[0], b, n_heads, (T, p.shape[-1]), rate, interpret
@@ -412,7 +437,7 @@ def _packed_fwd_sp_kernel(seed_ref, qkv_ref, bias_ref, o_ref, p_ref,
     for h in range(n_heads):
         v = x[:, (3 * h + 2) * d:(3 * h + 3) * d]
         o = jax.lax.dot_general(
-            p[h * T:(h + 1) * T], v, (((1,), (0,)), ((), ())),
+            p[h], v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         o_ref[0, :, h * d:(h + 1) * d] = o.astype(o_ref.dtype)
@@ -430,7 +455,7 @@ def _packed_bwd_sp_kernel(seed_ref, qkv_ref, p_ref, do_ref, dqkv_ref,
     for g0 in range(0, n_heads, _BWD_GROUP):
         heads = range(g0, min(g0 + _BWD_GROUP, n_heads))
         G = len(heads)
-        p = p_ref[0, g0:g0 + G].reshape(G * T, T).astype(jnp.float32)
+        p = p_ref[0, g0:g0 + G].astype(jnp.float32)  # [G, T, T]
         if rate > 0.0:
             keep = _dropout_keep(
                 seed_ref[0] + b * n_heads + g0, p.shape, rate, interpret
@@ -447,7 +472,7 @@ def _packed_bwd_sp_kernel(seed_ref, qkv_ref, p_ref, do_ref, dqkv_ref,
             v = x[:, (3 * h + 2) * d:(3 * h + 3) * d]
             do = do_all[:, h * d:(h + 1) * d]
             dv = jax.lax.dot_general(
-                p_d16[j * T:(j + 1) * T], do, (((0,), (0,)), ((), ())),
+                p_d16[j], do, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             dqkv_ref[0, :, (3 * h + 2) * d:(3 * h + 3) * d] = dv.astype(dqkv_ref.dtype)
@@ -455,12 +480,12 @@ def _packed_bwd_sp_kernel(seed_ref, qkv_ref, p_ref, do_ref, dqkv_ref,
                 do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
             ))
             o = jax.lax.dot_general(
-                p_d16[j * T:(j + 1) * T], v, (((1,), (0,)), ((), ())),
+                p_d16[j], v, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             delta_all.append(jnp.sum(do.astype(jnp.float32) * o, axis=-1, keepdims=True))
-        dp_d = jnp.concatenate(dp_all, axis=0)
-        delta = jnp.concatenate(delta_all, axis=0)
+        dp_d = jnp.stack(dp_all)
+        delta = jnp.stack(delta_all)
         if rate > 0.0:
             dp = jnp.where(keep, dp_d / (1.0 - rate), 0.0)
         else:
@@ -470,7 +495,7 @@ def _packed_bwd_sp_kernel(seed_ref, qkv_ref, p_ref, do_ref, dqkv_ref,
         for j, h in enumerate(heads):
             q = x[:, (3 * h + 0) * d:(3 * h + 1) * d]
             k = x[:, (3 * h + 1) * d:(3 * h + 2) * d]
-            ds_h = ds[j * T:(j + 1) * T]
+            ds_h = ds[j]
             dq = jax.lax.dot_general(
                 ds_h, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
             )
@@ -555,13 +580,14 @@ _flash_packed_sp.defvjp(_flash_packed_sp_fwd, _flash_packed_sp_bwd)
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def _flash_packed(qkv, key_bias, rate, n_heads, d, seed):
-    return _flash_packed_fwd_impl(qkv, key_bias, rate, n_heads, d, seed)
+    return _flash_packed_fwd_impl(qkv, key_bias, rate, n_heads, d, seed)[0]
 
 
 def _flash_packed_fwd_impl(qkv, key_bias, rate, n_heads, d, seed):
     B, T, F = qkv.shape
     in_spec = pl.BlockSpec((1, T, F), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((1, T, F // 3), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM)
+    stats_spec = pl.BlockSpec((1, T, 2 * n_heads), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM)
     bias_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     scale = 1.0 / (d ** 0.5)
     return pl.pallas_call(
@@ -573,9 +599,12 @@ def _flash_packed_fwd_impl(qkv, key_bias, rate, n_heads, d, seed):
             num_scalar_prefetch=1,
             grid=(B,),
             in_specs=[in_spec, bias_spec],
-            out_specs=out_spec,
+            out_specs=[out_spec, stats_spec],
         ),
-        out_shape=jax.ShapeDtypeStruct((B, T, F // 3), qkv.dtype),
+        out_shape=[
+            jax.ShapeDtypeStruct((B, T, F // 3), qkv.dtype),
+            jax.ShapeDtypeStruct((B, T, 2 * n_heads), jnp.float32),
+        ],
         interpret=_interpret(),
         compiler_params=None if _interpret() else pltpu.CompilerParams(
             dimension_semantics=("parallel",)
@@ -584,15 +613,16 @@ def _flash_packed_fwd_impl(qkv, key_bias, rate, n_heads, d, seed):
 
 
 def _flash_packed_fwd(qkv, key_bias, rate, n_heads, d, seed):
-    out = _flash_packed_fwd_impl(qkv, key_bias, rate, n_heads, d, seed)
-    return out, (qkv, key_bias, seed)
+    out, stats = _flash_packed_fwd_impl(qkv, key_bias, rate, n_heads, d, seed)
+    return out, (qkv, key_bias, seed, out, stats)
 
 
 def _flash_packed_bwd(rate, n_heads, d, residuals, do):
-    qkv, key_bias, seed = residuals
+    qkv, key_bias, seed, out, stats = residuals
     B, T, F = qkv.shape
     in_spec = pl.BlockSpec((1, T, F), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM)
     do_spec = pl.BlockSpec((1, T, F // 3), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM)
+    stats_spec = pl.BlockSpec((1, T, 2 * n_heads), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM)
     bias_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     scale = 1.0 / (d ** 0.5)
     dqkv = pl.pallas_call(
@@ -603,7 +633,7 @@ def _flash_packed_bwd(rate, n_heads, d, residuals, do):
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(B,),
-            in_specs=[in_spec, bias_spec, do_spec],
+            in_specs=[in_spec, bias_spec, do_spec, do_spec, stats_spec],
             out_specs=in_spec,
         ),
         out_shape=jax.ShapeDtypeStruct((B, T, F), qkv.dtype),
@@ -611,7 +641,7 @@ def _flash_packed_bwd(rate, n_heads, d, residuals, do):
         compiler_params=None if _interpret() else pltpu.CompilerParams(
             dimension_semantics=("parallel",)
         ),
-    )(seed, qkv, key_bias, do)
+    )(seed, qkv, key_bias, do, out, stats)
     dseed = np.zeros(seed.shape, dtype=jax.dtypes.float0)
     return dqkv, jnp.zeros_like(key_bias), dseed
 
