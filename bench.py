@@ -150,18 +150,20 @@ def main():
     # below the bf16 noise floor of the erf default; erf stays the model
     # default for checkpoint parity); fallbacks: erf gelu, smaller batch,
     # scanned layers
-    for bs, act, scan, fx in (
-        (96, "gelu_tanh", False, True),
-        (96, "gelu_tanh", False, False),
-        (96, "gelu", False, False),
-        (64, "gelu", False, False),
-        (64, "gelu", True, False),
+    for bs, act, scan, fx, fd in (
+        (96, "gelu_tanh", False, True, True),
+        (96, "gelu_tanh", False, True, False),
+        (96, "gelu_tanh", False, False, False),
+        (96, "gelu", False, False, False),
+        (64, "gelu", False, False, False),
+        (64, "gelu", True, False, False),
     ):
         try:
-            v = measure(bs, scan_layers=scan, hidden_act=act, fused_mlm_xent=fx)
+            v = measure(bs, scan_layers=scan, hidden_act=act, fused_mlm_xent=fx,
+                        fast_dropout=fd)
             mfu = v * TRAIN_FLOPS_PER_PAIR / V5E_PEAK_BF16
             print(
-                f"# batch={bs} act={act} scan_layers={scan} fused_xent={fx}: "
+                f"# batch={bs} act={act} scan_layers={scan} fused_xent={fx} fast_dropout={fd}: "
                 f"{v:.1f} pairs/s/chip (MFU {mfu:.1%} of 197 bf16 TFLOP/s)",
                 file=sys.stderr,
             )

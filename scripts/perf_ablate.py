@@ -210,6 +210,9 @@ if __name__ == "__main__":
     if want("train_fx_fln"):
         run_train("train: fused xent + fused LN", fused_mlm_xent=True,
                   use_fused_layer_norm=True)
+    if want("train_fastdrop"):
+        run_train("train: fast dropout masks", fused_mlm_xent=True,
+                  fast_dropout=True)
     if want("train_relu"):
         run_train("train: relu act", fused_mlm_xent=True, hidden_act="relu")
     if want("train_norecomp"):

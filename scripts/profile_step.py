@@ -29,7 +29,7 @@ def main():
 
     cfg = VisualBertConfig.base(
         use_flash_attention=True, scan_layers=False, hidden_act="gelu_tanh",
-        fused_mlm_xent=True,
+        fused_mlm_xent=True, fast_dropout=True,
     )
     model = VisualBertForTask(cfg, head_type="pretraining")
     trainer = Trainer(

@@ -79,6 +79,11 @@ class VisualBertConfig:
     # Loss/grad numerics match the unfused path; per-token logits are then
     # not available in the output dict (metrics use the kernel's argmax).
     fused_mlm_xent: bool = False
+    # Hidden-state dropout via a Pallas mask kernel (ops/dropout.py): writes
+    # the {0, 1/keep} multiplier straight from the on-chip PRNG instead of
+    # XLA's u32-bits → relayout → pred chain (~3 HBM round trips/site).
+    # Same Bernoulli distribution + gradient as nn.Dropout; different bits.
+    fast_dropout: bool = False
     # The (data, model) jax.sharding.Mesh the model will run under. REQUIRED
     # when use_flash_attention=True on >1 device: pallas_call has no GSPMD
     # partitioning rule, so the kernel is dispatched via shard_map over this

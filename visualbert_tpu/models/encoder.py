@@ -247,7 +247,16 @@ class ResidualNorm(nn.Module):
                 )
             return fused_add_layer_norm(x, res, scale, bias, cfg.layer_norm_eps)
         if rate > 0.0:
-            x = nn.Dropout(rate=cfg.hidden_dropout_prob)(x, deterministic=False)
+            # the mask kernel has no GSPMD rule — single-device meshes only
+            if cfg.fast_dropout and (cfg.mesh is None or cfg.mesh.size == 1):
+                from visualbert_tpu.ops.dropout import fast_dropout
+
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (1,), 0, 2**31 - 1, dtype=jnp.int32
+                )
+                x = fast_dropout(x, rate, seed)
+            else:
+                x = nn.Dropout(rate=cfg.hidden_dropout_prob)(x, deterministic=False)
         return reference_add_layer_norm(x, res, scale, bias, cfg.layer_norm_eps)
 
 
@@ -497,6 +506,15 @@ class VisualBertEmbeddings(nn.Module):
             text = jnp.concatenate([text, vis], axis=1)
 
         out = self.norm(text).astype(cfg.dtype)
+        if (cfg.fast_dropout and not deterministic
+                and cfg.hidden_dropout_prob > 0.0
+                and (cfg.mesh is None or cfg.mesh.size == 1)):
+            from visualbert_tpu.ops.dropout import fast_dropout
+
+            seed = jax.random.randint(
+                self.make_rng("dropout"), (1,), 0, 2**31 - 1, dtype=jnp.int32
+            )
+            return fast_dropout(out, cfg.hidden_dropout_prob, seed)
         return self.dropout(out, deterministic=deterministic)
 
 
