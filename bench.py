@@ -75,7 +75,7 @@ def measure(batch_size, use_flash=True, remat=False, scan_layers=True,
     )
     batch = synth_batch(batch_size)
     state = trainer.init_state(jax.random.PRNGKey(0), batch)
-    step_inner = trainer.train_step_fn()
+    step_inner = trainer.train_step_fn(nested=True)
 
     def multi(state, batch, key):
         def body(st, i):
@@ -84,7 +84,8 @@ def measure(batch_size, use_flash=True, remat=False, scan_layers=True,
 
         return jax.lax.scan(body, state, jnp.arange(K))
 
-    multi = jax.jit(multi, donate_argnums=(0,))
+    multi = jax.jit(multi, donate_argnums=(0,),
+                    compiler_options=trainer.compiler_options())
     sharded = trainer.shard_batch(batch)
     key = jax.random.key(1, impl="rbg")  # hardware RNG for dropout masks
 

@@ -60,14 +60,14 @@ def time_steps(multi, state, batch, key, repeats=3):
     return best, state
 
 
-def run_train(name, **cfg_overrides):
+def run_train(name, compiler_options=None, **cfg_overrides):
     import jax
     import jax.numpy as jnp
 
     cfg, model, trainer = build(**cfg_overrides)
     batch = synth_batch(BATCH)
     state = trainer.init_state(jax.random.PRNGKey(0), batch)
-    step_inner = trainer.train_step_fn()
+    step_inner = trainer.train_step_fn(nested=True)
 
     def multi(state, batch, key):
         def body(st, i):
@@ -76,7 +76,9 @@ def run_train(name, **cfg_overrides):
 
         return jax.lax.scan(body, state, jnp.arange(K))
 
-    multi = jax.jit(multi, donate_argnums=(0,))
+    if compiler_options is None:
+        compiler_options = trainer.compiler_options()
+    multi = jax.jit(multi, donate_argnums=(0,), compiler_options=compiler_options)
     sharded = trainer.shard_batch(batch)
     key = jax.random.key(1, impl="rbg")
     v, _ = time_steps(multi, state, sharded, key)
@@ -221,3 +223,22 @@ if __name__ == "__main__":
     if want("train_128"):
         BATCH = 128
         run_train("train: batch 128", fused_mlm_xent=True)
+    if want("train_fd_144"):
+        BATCH = 144
+        run_train("train: fastdrop batch 144", fused_mlm_xent=True,
+                  fast_dropout=True)
+        BATCH = 96
+    if want("train_fd_192"):
+        BATCH = 192
+        run_train("train: fastdrop batch 192", fused_mlm_xent=True,
+                  fast_dropout=True)
+        BATCH = 96
+    if want("train_fd_vmem"):
+        run_train("train: fastdrop vmem32M", fused_mlm_xent=True,
+                  fast_dropout=True,
+                  compiler_options={"xla_tpu_scoped_vmem_limit_kib": "32768"})
+    if want("train_fd_vmem_sweep"):
+        for kib in ("24576", "49152", "65536"):
+            run_train(f"train: fastdrop vmem{int(kib)//1024}M", fused_mlm_xent=True,
+                      fast_dropout=True,
+                      compiler_options={"xla_tpu_scoped_vmem_limit_kib": kib})

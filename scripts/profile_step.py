@@ -42,7 +42,7 @@ def main():
     )
     batch = synth_batch(BATCH)
     state = trainer.init_state(jax.random.PRNGKey(0), batch)
-    step_inner = trainer.train_step_fn()
+    step_inner = trainer.train_step_fn(nested=True)
 
     def multi(state, batch, key):
         def body(st, i):

@@ -260,9 +260,18 @@ def _mlm_nll(x, emb, bias, labels):
 
 
 def _pick_blocks(N, V, H):
-    nb = min(N, 256)
+    # Large row blocks: the fwd/dx kernels re-stream the FULL embedding
+    # matrix once per row block (V·H·2 bytes ≈ 47 MB at BERT-base), so the
+    # row-block count is the dominant HBM cost — nb=256 streamed E 9× per
+    # pass (~0.8 ms); nb=768 streams it 3×. Bounded by the fp32 [nb, vbk]
+    # logits block + fp32 [nb, H] accumulator in scoped VMEM.
+    nb = N
+    for cand in (768, 512, 384, 256, 128, 64, 32, 16, 8):
+        if cand <= N and N % cand == 0:
+            nb = cand
+            break
     # forward/dx vocab block: E block ×2 (double buffer) + fp32 logits block
-    vbk = min(V, 2560)
+    vbk = min(V, 1280)
     while V % vbk:
         vbk //= 2
     vbk_de = min(V, 1280)

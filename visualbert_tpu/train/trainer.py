@@ -132,9 +132,28 @@ class Trainer:
 
         return loss_fn
 
-    def train_step_fn(self):
-        if self._train_step is not None:
-            return self._train_step
+    def compiler_options(self):
+        """XLA options for the step executables. TPU-only flags are dropped
+        on other backends (CPU tests). Measured: scoped-VMEM 32 MB is the
+        best setting for the Pallas kernels at BERT-base shapes (sweep in
+        scripts/perf_ablate.py train_fd_vmem_sweep)."""
+        import jax as _jax
+
+        opts = self.train_config.compiler_options
+        if opts is None:
+            opts = {"xla_tpu_scoped_vmem_limit_kib": "32768"}
+        if _jax.devices()[0].platform != "tpu":
+            opts = {k: v for k, v in opts.items() if not k.startswith("xla_tpu_")}
+        return opts or None
+
+    def train_step_fn(self, nested: bool = False):
+        """The jitted train step. ``nested=True`` omits compiler_options —
+        jax forbids them on a jit traced inside another jit (multi_step_fn,
+        bench loops); pass it whenever you wrap this step in an outer jit."""
+        cache = "_train_step_nested" if nested else "_train_step"
+        cached = getattr(self, cache, None)
+        if cached is not None:
+            return cached
         assert self._specs is not None, "call init_state() before train_step_fn()"
 
         accum = self.train_config.gradient_accumulation_steps
@@ -191,7 +210,7 @@ class Trainer:
 
         data_spec = P("data")
         with self.mesh:
-            self._train_step = jax.jit(
+            jitted = jax.jit(
                 step,
                 in_shardings=(
                     jax.tree.map(
@@ -202,14 +221,16 @@ class Trainer:
                     None,
                 ),
                 donate_argnums=(0,),
+                compiler_options=None if nested else self.compiler_options(),
             )
-        return self._train_step
+        setattr(self, cache, jitted)
+        return jitted
 
     def multi_step_fn(self, n_steps: int):
         """K train steps fused into ONE program via lax.scan over a stacked
         batch [K, B, ...]; returns (state, stacked metrics). Cuts host↔device
         round trips to 1/K — the production inner loop on remote TPUs."""
-        inner = self.train_step_fn()
+        inner = self.train_step_fn(nested=True)
 
         def multi(state, batches, rng):
             def body(st, xs):
@@ -222,7 +243,8 @@ class Trainer:
             )
 
         with self.mesh:
-            return jax.jit(multi, donate_argnums=(0,))
+            return jax.jit(multi, donate_argnums=(0,),
+                           compiler_options=self.compiler_options())
 
     def eval_step_fn(self):
         if self._eval_step is not None:
@@ -232,7 +254,7 @@ class Trainer:
             return self.model.apply({"params": params}, batch, deterministic=True)
 
         with self.mesh:
-            self._eval_step = jax.jit(step)
+            self._eval_step = jax.jit(step, compiler_options=self.compiler_options())
         return self._eval_step
 
     def reshard_state(self, state: TrainState) -> TrainState:
