@@ -291,15 +291,16 @@ def _packed_fwd_kernel(seed_ref, qkv_ref, bias_ref, o_ref, stats_ref,
     t = jnp.stack(s_all) * c1 + bias2[None, None, :]  # [H, T, T]
     m2 = jnp.max(t, axis=-1, keepdims=True)
     e = jnp.exp2(t - m2)
-    r = pl.reciprocal(jnp.sum(e, axis=-1, keepdims=True), approx=False)
-    p = e * r
-    # stats layout [T, 2H] (lanes = 2H, sublanes = T): a [H, T, 2] block
-    # would pad its 2-wide lane dim to 128 (64× HBM bloat); here the packed
-    # columns stay lane-resident and the backward slices [T, 1] columns
-    # directly (no transpose).
+    ssum = jnp.sum(e, axis=-1, keepdims=True)
+    p = e * pl.reciprocal(ssum, approx=False)
+    # single combined stat m2' = m2 + log2(Σe): the backward reconstructs
+    # p = exp2(t − m2') with ONE exp2 and no per-element normalize multiply.
+    # Layout [T, H] (lanes = H, sublanes = T): an [H, T, 1] block would pad
+    # its 1-wide lane dim to 128 (128× HBM bloat); here the columns stay
+    # lane-resident and the backward slices [T, 1] columns directly.
+    m2p = m2 + jnp.log2(ssum)
     for h in range(n_heads):
-        stats_ref[0, :, 2 * h:2 * h + 1] = m2[h]
-        stats_ref[0, :, 2 * h + 1:2 * h + 2] = r[h]
+        stats_ref[0, :, h:h + 1] = m2p[h]
     if rate > 0.0:
         keep = _dropout_keep_grouped(
             seed_ref[0], b, n_heads, (T, p.shape[-1]), rate, interpret
@@ -351,9 +352,8 @@ def _packed_bwd_kernel(
             for h in heads
         ]
         t = jnp.stack(s_all) * c1 + bias2[None, None, :]
-        m2 = jnp.stack([stats_ref[0, :, 2 * h:2 * h + 1] for h in heads])  # [G, T, 1]
-        r = jnp.stack([stats_ref[0, :, 2 * h + 1:2 * h + 2] for h in heads])
-        p = jnp.exp2(t - m2) * r  # [G, T, T] pre-dropout probs, fp32
+        m2p = jnp.stack([stats_ref[0, :, h:h + 1] for h in heads])  # [G, T, 1]
+        p = jnp.exp2(t - m2p)  # [G, T, T] pre-dropout probs, fp32
         if rate > 0.0:
             keep = _dropout_keep(
                 seed_ref[0] + b * n_heads + g0, p.shape, rate, interpret
@@ -587,7 +587,7 @@ def _flash_packed_fwd_impl(qkv, key_bias, rate, n_heads, d, seed):
     B, T, F = qkv.shape
     in_spec = pl.BlockSpec((1, T, F), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((1, T, F // 3), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM)
-    stats_spec = pl.BlockSpec((1, T, 2 * n_heads), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM)
+    stats_spec = pl.BlockSpec((1, T, n_heads), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM)
     bias_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     scale = 1.0 / (d ** 0.5)
     return pl.pallas_call(
@@ -603,7 +603,7 @@ def _flash_packed_fwd_impl(qkv, key_bias, rate, n_heads, d, seed):
         ),
         out_shape=[
             jax.ShapeDtypeStruct((B, T, F // 3), qkv.dtype),
-            jax.ShapeDtypeStruct((B, T, 2 * n_heads), jnp.float32),
+            jax.ShapeDtypeStruct((B, T, n_heads), jnp.float32),
         ],
         interpret=_interpret(),
         compiler_params=None if _interpret() else pltpu.CompilerParams(
@@ -622,7 +622,7 @@ def _flash_packed_bwd(rate, n_heads, d, residuals, do):
     B, T, F = qkv.shape
     in_spec = pl.BlockSpec((1, T, F), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM)
     do_spec = pl.BlockSpec((1, T, F // 3), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM)
-    stats_spec = pl.BlockSpec((1, T, 2 * n_heads), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM)
+    stats_spec = pl.BlockSpec((1, T, n_heads), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM)
     bias_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     scale = 1.0 / (d ** 0.5)
     dqkv = pl.pallas_call(
