@@ -125,3 +125,54 @@ def test_model_fused_equals_unfused():
             np.asarray(flat_f[path]), np.asarray(leaf), atol=3e-6,
             err_msg=str(path),
         )
+
+
+def test_fused_xent_guard_on_mesh():
+    """fused_mlm_xent on a >1-device mesh must fall back to the einsum path
+    (the pallas kernel has no GSPMD rule) and still train."""
+    import jax
+    import numpy as np
+
+    if len(jax.devices()) < 2:
+        import pytest
+
+        pytest.skip("needs >1 devices")
+    import jax.numpy as jnp
+
+    from visualbert_tpu.config import OptimizerConfig, TrainConfig, VisualBertConfig
+    from visualbert_tpu.models.visualbert import VisualBertForTask
+    from visualbert_tpu.parallel.mesh import create_mesh
+    from visualbert_tpu.train.trainer import Trainer
+
+    mesh = create_mesh((2, 1), devices=jax.devices()[:2])
+    cfg = VisualBertConfig(
+        vocab_size=256, hidden_size=32, num_hidden_layers=1,
+        num_attention_heads=2, intermediate_size=64,
+        max_position_embeddings=32, visual_embedding_dim=16,
+        dtype=jnp.float32, fused_mlm_xent=True, mesh=mesh,
+    )
+    model = VisualBertForTask(cfg, head_type="pretraining")
+    trainer = Trainer(
+        model=model,
+        opt_config=OptimizerConfig(learning_rate=1e-3, schedule=None, t_total=-1),
+        train_config=TrainConfig(mesh_shape=(2, 1)),
+        mesh=mesh,
+    )
+    rng = np.random.RandomState(0)
+    B, Tt, Tv, P = 4, 8, 4, 3
+    lm = np.full((B, Tt), -1, np.int32)
+    lm[:, 2] = 5
+    batch = {
+        "input_ids": rng.randint(0, 256, size=(B, Tt)).astype(np.int32),
+        "token_type_ids": np.zeros((B, Tt), np.int32),
+        "input_mask": np.ones((B, Tt), np.int32),
+        "visual_embeddings": rng.randn(B, Tv, 16).astype(np.float32),
+        "image_mask": np.ones((B, Tv), np.int32),
+        "masked_lm_labels": lm,
+        "mlm_positions": np.tile(np.array([[1, 2, 3]], np.int32), (B, 1)),
+        "is_random_next": np.zeros((B,), np.int32),
+    }
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    step = trainer.train_step_fn()
+    state, m = step(state, trainer.shard_batch(batch), jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["loss"]))

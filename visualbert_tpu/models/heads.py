@@ -83,7 +83,10 @@ class PreTrainingHeads(nn.Module):
             name="seq_relationship",
         )(pooled_output).astype(jnp.float32)
 
-        if cfg.fused_mlm_xent and labels is not None:
+        # single-device meshes only: the xent pallas_call has no GSPMD rule
+        # (under >1 devices the unfused einsum path below shards fine)
+        if (cfg.fused_mlm_xent and labels is not None
+                and (cfg.mesh is None or cfg.mesh.size == 1)):
             from visualbert_tpu.ops.mlm_xent import mlm_xent
 
             B, P, H = transformed.shape
