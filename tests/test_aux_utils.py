@@ -261,3 +261,26 @@ def test_params_summary():
     params = {"a": {"w": np.zeros((2, 3))}, "b": np.zeros(5)}
     s = params_summary(params)
     assert "a/w" in s and "TOTAL" in s and "11" in s
+
+
+def test_fill_collate_matches_sequential():
+    """The pooled fill-into-buffer collate must produce exactly the batches
+    of the sequential path (same per-sample RNG keying)."""
+    import numpy as np
+
+    from visualbert_tpu.data.datasets.coco import CocoCaptionsDataset, make_synthetic
+    from visualbert_tpu.data.pipeline import Batcher
+    from visualbert_tpu.data.tokenization import BertTokenizer
+
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"] + [f"w{i}" for i in range(50)]
+    tok = BertTokenizer({w: i for i, w in enumerate(vocab)})
+    ann, feats = make_synthetic(24, tok, n_regions=5, feat_dim=8)
+    ds = CocoCaptionsDataset(ann, feats, tok, max_seq_length=24, max_regions=5,
+                             two_sentence=True)
+    seq = list(Batcher(ds, 8, seed=3, num_workers=0).epoch(1))
+    par = list(Batcher(ds, 8, seed=3, num_workers=4).epoch(1))
+    assert len(seq) == len(par)
+    for a, b in zip(seq, par):
+        assert set(a) == set(b)
+        for k in a:
+            np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]), err_msg=k)

@@ -33,25 +33,53 @@ from visualbert_tpu.data.tokenization import BertTokenizer
 MLM_IGNORE = -1
 
 
+def _vocab_items(tokenizer) -> List[str]:
+    """Vocab keys as a list, cached on the tokenizer — rebuilding the
+    30522-entry list per sample was the masking hot spot."""
+    vi = getattr(tokenizer, "_vocab_items_cache", None)
+    if vi is None:
+        vi = list(tokenizer.vocab.keys())
+        try:
+            tokenizer._vocab_items_cache = vi
+        except AttributeError:
+            pass
+    return vi
+
+
 def random_word(
     tokens: List[str],
     tokenizer: BertTokenizer,
     rng: np.random.Generator,
     mask_prob: float = 0.15,
 ) -> Tuple[List[str], List[int]]:
-    """Per-token MLM corruption. Returns (corrupted tokens, labels)."""
+    """Per-token MLM corruption. Returns (corrupted tokens, labels).
+
+    Vectorized host path: the select/action/replacement draws happen as
+    three array RNG calls and Python only touches the ~15% selected
+    positions (same 80/10/10 distribution as the reference
+    fine_tuning.py:272; the RNG *stream* differs from a per-token loop —
+    masking is distributional)."""
+    n = len(tokens)
     out = list(tokens)
-    labels = [MLM_IGNORE] * len(tokens)
-    vocab_items = list(tokenizer.vocab.keys())
-    for i, tok in enumerate(tokens):
-        if rng.random() < mask_prob:
-            p = rng.random()
-            if p < 0.8:
-                out[i] = "[MASK]"
-            elif p < 0.9:
-                out[i] = vocab_items[int(rng.integers(len(vocab_items)))]
-            # else: keep
-            labels[i] = tokenizer.vocab.get(tok, tokenizer.vocab["[UNK]"])
+    labels = [MLM_IGNORE] * n
+    if n == 0:
+        return out, labels
+    sel = np.flatnonzero(rng.random(n) < mask_prob)
+    if len(sel) == 0:
+        return out, labels
+    p = rng.random(len(sel))
+    vi = _vocab_items(tokenizer)
+    repl = rng.integers(len(vi), size=len(sel))
+    vocab_get = tokenizer.vocab.get
+    unk = tokenizer.vocab["[UNK]"]
+    for j, i in enumerate(sel.tolist()):
+        pj = p[j]
+        if pj < 0.8:
+            out[i] = "[MASK]"
+        elif pj < 0.9:
+            out[i] = vi[int(repl[j])]
+        # else: keep
+        labels[i] = vocab_get(tokens[i], unk)
     return out, labels
 
 
@@ -64,7 +92,7 @@ def random_word_wwm(
     """Whole-word masking: decide per *word*, apply to all its wordpieces."""
     out_tokens: List[str] = []
     labels: List[int] = []
-    vocab_items = list(tokenizer.vocab.keys())
+    vocab_items = _vocab_items(tokenizer)
     for word in words:
         pieces = tokenizer.wordpiece.tokenize(word)
         if rng.random() < mask_prob:
@@ -100,7 +128,7 @@ def random_word_wwm_pieces(
     ``'##x' → ['##x']`` (a vocab entry), so every piece decides
     independently — its "wwm" degenerates to per-subword masking there.
     """
-    vocab_items = list(tokenizer.vocab.keys())
+    vocab_items = _vocab_items(tokenizer)
     groups: List[List[str]] = []
     for p in pieces:
         if group_continuations and p.startswith("##") and groups:

@@ -97,11 +97,33 @@ class Batcher:
                     # 'example_weight' to mask duplicates out of metrics
                     pad = np.resize(idx, self.batch_size)
                     idx = pad
-            if pool is not None:
+            if pool is not None and self.collate is default_collate:
+                # fill-into-buffer collate: each worker writes its sample
+                # straight into the batch arrays, so the big visual-feature
+                # memcpy (≈0.8 MB/sample) parallelizes across workers —
+                # np.stack after pool.map was serial and dominated batch
+                # assembly (~20 ms of a 30 ms batch at bench shapes)
+                first = self._fetch(epoch, int(idx[0]))
+                bufs = {
+                    k: np.empty((len(idx),) + np.shape(v), np.asarray(v).dtype)
+                    for k, v in first.items()
+                }
+                for k, v in first.items():
+                    bufs[k][0] = v
+
+                def fill(j):
+                    s = self._fetch(epoch, int(idx[j]))
+                    for k, v in s.items():
+                        bufs[k][j] = v
+
+                list(pool.map(fill, range(1, len(idx))))
+                yield bufs
+            elif pool is not None:
                 samples = list(pool.map(lambda i: self._fetch(epoch, i), idx))
+                yield self.collate(samples)
             else:
                 samples = [self._fetch(epoch, i) for i in idx]
-            yield self.collate(samples)
+                yield self.collate(samples)
 
     def __iter__(self):
         return self.epoch(0)
