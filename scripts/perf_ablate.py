@@ -242,3 +242,9 @@ if __name__ == "__main__":
             run_train(f"train: fastdrop vmem{int(kib)//1024}M", fused_mlm_xent=True,
                       fast_dropout=True,
                       compiler_options={"xla_tpu_scoped_vmem_limit_kib": kib})
+    if want("train_fd_fln"):
+        run_train("train: fastdrop + fused LN", fused_mlm_xent=True,
+                  fast_dropout=True, use_fused_layer_norm=True)
+    if want("train_fd_erf"):
+        run_train("train: fastdrop + erf gelu", fused_mlm_xent=True,
+                  fast_dropout=True, hidden_act="gelu")
