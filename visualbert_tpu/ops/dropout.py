@@ -33,7 +33,6 @@ def _interpret() -> bool:
 
 def _mask_kernel(seed_ref, o_ref, *, rate, interpret):
     i = pl.program_id(0)
-    inv = 1.0 / (1.0 - rate)
     shape = o_ref.shape
     if interpret:
         key = jax.random.PRNGKey(seed_ref[0] + i)
@@ -43,7 +42,10 @@ def _mask_kernel(seed_ref, o_ref, *, rate, interpret):
         bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
         threshold = jnp.uint32(min(int(rate * 2**32), 2**32 - 1))
         keep = bits >= threshold
-    o_ref[...] = jnp.where(keep, inv, 0.0).astype(o_ref.dtype)
+    if o_ref.dtype == jnp.int8:
+        o_ref[...] = keep.astype(jnp.int8)  # {0,1}; caller rescales
+    else:
+        o_ref[...] = jnp.where(keep, 1.0 / (1.0 - rate), 0.0).astype(o_ref.dtype)
 
 
 def _pick_tile(n_rows: int) -> int:
@@ -97,9 +99,15 @@ def dropout_mask(shape, rate: float, seed, dtype=jnp.bfloat16) -> jax.Array:
 
 
 def fast_dropout(x: jax.Array, rate: float, seed) -> jax.Array:
-    """Dropout via a fused mask kernel; gradient-equivalent to nn.Dropout."""
+    """Dropout via a fused mask kernel; gradient-equivalent to nn.Dropout.
+
+    The mask is stored as int8 {0,1} (half the HBM bytes of a bf16
+    multiplier; each mask is written once and read by both the forward and
+    backward multiply) and rescaled to {0, 1/keep} inside the consumer's
+    fusion epilogue."""
     if rate <= 0.0:
         return x
-    mask = dropout_mask(x.shape, rate, seed,
-                        x.dtype if x.dtype == jnp.bfloat16 else jnp.float32)
-    return x * jax.lax.stop_gradient(mask)
+    mask = dropout_mask(x.shape, rate, seed, jnp.int8)
+    inv = jnp.asarray(1.0 / (1.0 - rate), x.dtype)
+    m = jax.lax.stop_gradient(mask).astype(x.dtype) * inv
+    return x * m
