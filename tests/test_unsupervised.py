@@ -282,3 +282,31 @@ def test_text_matched_objective(tok):
         assert s["token_type_ids"][sep_positions[1]] == 1
         labels.append(int(s["matched_label"]))
     assert 0 in labels and 1 in labels
+
+
+def test_fused_mlm_xent_matches_unfused_unsup(tok, sym):
+    """The streaming softmax-xent path of the unsupervised model must match
+    the materialized-logits loss to fp32 tolerance."""
+    ann, feats = up.make_synthetic(16, tok, sym, feat_dim=FEAT_DIM)
+    ds = up.UnsupervisedPretrainDataset(ann, feats, tok, sym,
+                                        max_seq_length=12, n_regions=6)
+    batch = next(iter(Batcher(ds, 8, seed=0).epoch(0)))
+    batch = jax.tree.map(jnp.asarray, batch)
+
+    ucfg_ref = make_ucfg(sym)
+    ucfg_fx = make_ucfg(
+        sym, bert=ucfg_ref.bert.replace(fused_mlm_xent=True)
+    )
+    m_ref = UnsupervisedVisualBert(ucfg_ref)
+    m_fx = UnsupervisedVisualBert(ucfg_fx)
+    params = m_ref.init({"params": jax.random.PRNGKey(0)}, batch)["params"]
+    o_ref = m_ref.apply({"params": params}, batch, deterministic=True)
+    o_fx = m_fx.apply({"params": params}, batch, deterministic=True)
+    np.testing.assert_allclose(
+        float(o_fx["masked_lm_loss"]), float(o_ref["masked_lm_loss"]),
+        rtol=2e-5, atol=2e-5,
+    )
+    np.testing.assert_allclose(
+        float(o_fx["loss"]), float(o_ref["loss"]), rtol=2e-5, atol=2e-5
+    )
+    assert "mlm_logits" not in o_fx and "mlm_logits" in o_ref

@@ -300,15 +300,40 @@ class UnsupervisedVisualBert(nn.Module):
             ) + self.mlm_bias.astype(jnp.float32)
 
         if lang_out is not None:
-            mlm_logits = mlm_head(lang_out)
+            labels = batch.get("masked_lm_labels")
             matched_logits = self.seq_relationship(pooled).astype(jnp.float32)
-            out["mlm_logits"] = mlm_logits
             out["matched_logits"] = matched_logits
 
-            if ucfg.task_mask_lm and batch.get("masked_lm_labels") is not None:
-                l = losses.cross_entropy_ignore_index(mlm_logits, batch["masked_lm_labels"])
+            # fused streaming softmax-xent over the 30522 decoder (no
+            # [B·T, vocab] fp32 logits in HBM); single-device meshes only —
+            # the pallas kernel has no GSPMD rule
+            use_fused = (
+                cfg.fused_mlm_xent and ucfg.task_mask_lm and labels is not None
+                and (cfg.mesh is None or cfg.mesh.size == 1)
+            )
+            if use_fused:
+                from visualbert_tpu.ops.mlm_xent import mlm_xent
+
+                B, T, H = lang_out.shape
+                transformed = self.mlm_transform(lang_out)
+                nll, _ = mlm_xent(
+                    transformed.reshape(B * T, H),
+                    word_emb,
+                    self.mlm_bias.astype(jnp.float32),
+                    labels.reshape(B * T),
+                )
+                valid = labels.reshape(-1) != -1
+                count = jnp.maximum(valid.sum(), 1)
+                l = jnp.where(valid, nll, 0.0).sum() / count
                 out["masked_lm_loss"] = l
                 total = total + l
+            else:
+                mlm_logits = mlm_head(lang_out)
+                out["mlm_logits"] = mlm_logits
+                if ucfg.task_mask_lm and labels is not None:
+                    l = losses.cross_entropy_ignore_index(mlm_logits, labels)
+                    out["masked_lm_loss"] = l
+                    total = total + l
             if ucfg.task_matched and batch.get("matched_label") is not None:
                 l = losses.cross_entropy_ignore_index(matched_logits, batch["matched_label"])
                 out["matched_loss"] = l
