@@ -263,7 +263,7 @@ _flash.defvjp(_flash_fwd, _flash_bwd)
 # ---------------------------------------------------------------------------
 
 
-def _packed_fwd_kernel(seed_ref, qkv_ref, bias_ref, o_ref, stats_ref,
+def _packed_fwd_kernel(seed_ref, qkv_ref, bias_ref, o_ref, stats_ref=None,
                        *, scale, rate, n_heads, d, interpret=False):
     # MXU stages (QKᵀ, PV) loop over heads — the per-head [T, D] tiles are
     # static lane slices of the packed VMEM block. VPU stages (softmax,
@@ -298,9 +298,10 @@ def _packed_fwd_kernel(seed_ref, qkv_ref, bias_ref, o_ref, stats_ref,
     # Layout [T, H] (lanes = H, sublanes = T): an [H, T, 1] block would pad
     # its 1-wide lane dim to 128 (128× HBM bloat); here the columns stay
     # lane-resident and the backward slices [T, 1] columns directly.
-    m2p = m2 + jnp.log2(ssum)
-    for h in range(n_heads):
-        stats_ref[0, :, h:h + 1] = m2p[h]
+    if stats_ref is not None:
+        m2p = m2 + jnp.log2(ssum)
+        for h in range(n_heads):
+            stats_ref[0, :, h:h + 1] = m2p[h]
     if rate > 0.0:
         keep = _dropout_keep_grouped(
             seed_ref[0], b, n_heads, (T, p.shape[-1]), rate, interpret
@@ -580,16 +581,38 @@ _flash_packed_sp.defvjp(_flash_packed_sp_fwd, _flash_packed_sp_bwd)
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def _flash_packed(qkv, key_bias, rate, n_heads, d, seed):
-    return _flash_packed_fwd_impl(qkv, key_bias, rate, n_heads, d, seed)[0]
+    # primal (not being differentiated): skip the softmax-stats output —
+    # it exists only for the backward's p regeneration
+    return _flash_packed_fwd_impl(qkv, key_bias, rate, n_heads, d, seed,
+                                  with_stats=False)[0]
 
 
-def _flash_packed_fwd_impl(qkv, key_bias, rate, n_heads, d, seed):
+def _flash_packed_fwd_impl(qkv, key_bias, rate, n_heads, d, seed, with_stats=True):
     B, T, F = qkv.shape
     in_spec = pl.BlockSpec((1, T, F), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((1, T, F // 3), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM)
     stats_spec = pl.BlockSpec((1, T, n_heads), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM)
     bias_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     scale = 1.0 / (d ** 0.5)
+    if not with_stats:
+        out = pl.pallas_call(
+            functools.partial(
+                _packed_fwd_kernel, scale=scale, rate=rate, n_heads=n_heads,
+                d=d, interpret=_interpret(),
+            ),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(B,),
+                in_specs=[in_spec, bias_spec],
+                out_specs=out_spec,
+            ),
+            out_shape=jax.ShapeDtypeStruct((B, T, F // 3), qkv.dtype),
+            interpret=_interpret(),
+            compiler_params=None if _interpret() else pltpu.CompilerParams(
+                dimension_semantics=("parallel",)
+            ),
+        )(seed, qkv, key_bias)
+        return out, None
     return pl.pallas_call(
         functools.partial(
             _packed_fwd_kernel, scale=scale, rate=rate, n_heads=n_heads, d=d,
