@@ -78,6 +78,8 @@ def run_train(name, compiler_options=None, **cfg_overrides):
 
     if compiler_options is None:
         compiler_options = trainer.compiler_options()
+    elif not compiler_options:
+        compiler_options = None  # {} = explicitly unset (XLA defaults)
     multi = jax.jit(multi, donate_argnums=(0,), compiler_options=compiler_options)
     sharded = trainer.shard_batch(batch)
     key = jax.random.key(1, impl="rbg")
@@ -234,9 +236,12 @@ if __name__ == "__main__":
                   fast_dropout=True)
         BATCH = 96
     if want("train_fd_vmem"):
+        # current default config (32M scoped vmem comes from Trainer)
         run_train("train: fastdrop vmem32M", fused_mlm_xent=True,
-                  fast_dropout=True,
-                  compiler_options={"xla_tpu_scoped_vmem_limit_kib": "32768"})
+                  fast_dropout=True)
+    if want("train_fd_novmem"):
+        run_train("train: fastdrop xla-default vmem", fused_mlm_xent=True,
+                  fast_dropout=True, compiler_options={})
     if want("train_fd_vmem_sweep"):
         for kib in ("24576", "49152", "65536"):
             run_train(f"train: fastdrop vmem{int(kib)//1024}M", fused_mlm_xent=True,

@@ -39,7 +39,7 @@ def main():
     K = 6
     batch = synth_batch(96)
     state = trainer.init_state(jax.random.PRNGKey(0), batch)
-    step_inner = trainer.train_step_fn()
+    step_inner = trainer.train_step_fn(nested=True)
 
     def multi(state, batch, key):
         def body(st, i):

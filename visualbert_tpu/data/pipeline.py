@@ -111,8 +111,18 @@ class Batcher:
                 for k, v in first.items():
                     bufs[k][0] = v
 
+                keyset = set(first)
+
                 def fill(j):
                     s = self._fetch(epoch, int(idx[j]))
+                    if set(s) != keyset:
+                        # conditional keys (e.g. eval-only "label") must be
+                        # consistent within a batch — np.empty rows must
+                        # never be yielded uninitialized
+                        raise KeyError(
+                            f"sample {int(idx[j])} keys {sorted(s)} != "
+                            f"batch keys {sorted(keyset)}"
+                        )
                     for k, v in s.items():
                         bufs[k][j] = v
 

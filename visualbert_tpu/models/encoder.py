@@ -59,6 +59,23 @@ def activation(name: str):
     }[name]
 
 
+def fast_dropout_or_none(module: nn.Module, x: Array, rate: float,
+                         cfg: VisualBertConfig):
+    """Apply the Pallas mask-kernel dropout when it applies, else None (the
+    caller falls back to nn.Dropout). One home for the guard: the kernel has
+    no GSPMD rule, so >1-device meshes always take the fallback."""
+    if rate <= 0.0 or not cfg.fast_dropout:
+        return None
+    if cfg.mesh is not None and cfg.mesh.size > 1:
+        return None
+    from visualbert_tpu.ops.dropout import fast_dropout
+
+    seed = jax.random.randint(
+        module.make_rng("dropout"), (1,), 0, 2**31 - 1, dtype=jnp.int32
+    )
+    return fast_dropout(x, rate, seed)
+
+
 class FusedQKV(nn.Module):
     """Single fused QKV projection — one [H, 3·H] matmul instead of three
     (better MXU utilization). ``packed=True`` emits the matmul-natural
@@ -247,14 +264,9 @@ class ResidualNorm(nn.Module):
                 )
             return fused_add_layer_norm(x, res, scale, bias, cfg.layer_norm_eps)
         if rate > 0.0:
-            # the mask kernel has no GSPMD rule — single-device meshes only
-            if cfg.fast_dropout and (cfg.mesh is None or cfg.mesh.size == 1):
-                from visualbert_tpu.ops.dropout import fast_dropout
-
-                seed = jax.random.randint(
-                    self.make_rng("dropout"), (1,), 0, 2**31 - 1, dtype=jnp.int32
-                )
-                x = fast_dropout(x, rate, seed)
+            y = fast_dropout_or_none(self, x, rate, cfg)
+            if y is not None:
+                x = y
             else:
                 x = nn.Dropout(rate=cfg.hidden_dropout_prob)(x, deterministic=False)
         return reference_add_layer_norm(x, res, scale, bias, cfg.layer_norm_eps)
@@ -506,15 +518,10 @@ class VisualBertEmbeddings(nn.Module):
             text = jnp.concatenate([text, vis], axis=1)
 
         out = self.norm(text).astype(cfg.dtype)
-        if (cfg.fast_dropout and not deterministic
-                and cfg.hidden_dropout_prob > 0.0
-                and (cfg.mesh is None or cfg.mesh.size == 1)):
-            from visualbert_tpu.ops.dropout import fast_dropout
-
-            seed = jax.random.randint(
-                self.make_rng("dropout"), (1,), 0, 2**31 - 1, dtype=jnp.int32
-            )
-            return fast_dropout(out, cfg.hidden_dropout_prob, seed)
+        if not deterministic:
+            y = fast_dropout_or_none(self, out, cfg.hidden_dropout_prob, cfg)
+            if y is not None:
+                return y
         return self.dropout(out, deterministic=deterministic)
 
 

@@ -11,6 +11,16 @@ import jax.numpy as jnp
 Array = jax.Array
 
 
+def masked_nll_mean(nll, labels, ignore_index: int = -1):
+    """Mean of per-position NLLs over labels != ignore_index (the reduction
+    of ``torch.nn.CrossEntropyLoss(ignore_index=-1)`` applied to
+    already-computed NLLs — the fused-xent kernels return those)."""
+    labels = labels.reshape(-1)
+    valid = labels != ignore_index
+    count = jnp.maximum(valid.sum(), 1)
+    return jnp.where(valid, nll.reshape(-1), 0.0).sum() / count
+
+
 def cross_entropy_ignore_index(logits: Array, labels: Array, ignore_index: int = -1) -> Array:
     """``torch.nn.CrossEntropyLoss(ignore_index=-1)``: mean NLL over the
     positions whose label != ignore_index (reference modeling.py:1470-1485)."""

@@ -322,9 +322,7 @@ class UnsupervisedVisualBert(nn.Module):
                     self.mlm_bias.astype(jnp.float32),
                     labels.reshape(B * T),
                 )
-                valid = labels.reshape(-1) != -1
-                count = jnp.maximum(valid.sum(), 1)
-                l = jnp.where(valid, nll, 0.0).sum() / count
+                l = losses.masked_nll_mean(nll, labels)
                 out["masked_lm_loss"] = l
                 total = total + l
             else:

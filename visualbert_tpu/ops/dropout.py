@@ -31,17 +31,34 @@ def _interpret() -> bool:
     return jax.devices()[0].platform == "cpu"
 
 
+def keep_mask(shape, rate: float):
+    """Dropout keep-mask from the already-seeded TPU PRNG.
+
+    (A half-cost variant — u32 bitcast to two u16 lanes + 16-bit threshold
+    compare — fails to compile on v5e: Mosaic supports no 16-bit vector
+    comparisons, signed or unsigned. Full-width u32 compare it is.)
+
+    Canonical copy — the attention and layer-norm kernels import this."""
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    threshold = jnp.uint32(min(int(rate * 2**32), 2**32 - 1))
+    return bits >= threshold
+
+
+def dropout_keep(seed_scalar, shape, rate: float, interpret: bool):
+    """Seeded keep mask. TPU path: hardware PRNG seeded with ``seed_scalar``.
+    Interpret path (CPU tests/dryrun): jax threefry — the TPU PRNG
+    primitives have no CPU lowering. Same-seed determinism holds on both;
+    the bit patterns differ across paths (dropout is distributional)."""
+    if interpret:
+        key = jax.random.PRNGKey(seed_scalar)
+        return jax.random.uniform(key, shape) >= rate
+    pltpu.prng_seed(seed_scalar)
+    return keep_mask(shape, rate)
+
+
 def _mask_kernel(seed_ref, o_ref, *, rate, interpret):
     i = pl.program_id(0)
-    shape = o_ref.shape
-    if interpret:
-        key = jax.random.PRNGKey(seed_ref[0] + i)
-        keep = jax.random.uniform(key, shape) >= rate
-    else:
-        pltpu.prng_seed(seed_ref[0] + i)
-        bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
-        threshold = jnp.uint32(min(int(rate * 2**32), 2**32 - 1))
-        keep = bits >= threshold
+    keep = dropout_keep(seed_ref[0] + i, o_ref.shape, rate, interpret)
     if o_ref.dtype == jnp.int8:
         o_ref[...] = keep.astype(jnp.int8)  # {0,1}; caller rescales
     else:

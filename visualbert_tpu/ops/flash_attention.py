@@ -32,27 +32,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _keep_mask(shape, rate: float):
-    """Dropout keep-mask from the already-seeded PRNG.
-
-    (A half-cost variant — u32 bitcast to two u16 lanes + 16-bit threshold
-    compare — fails to compile on v5e: Mosaic supports no 16-bit vector
-    comparisons, signed or unsigned. Full-width u32 compare it is.)"""
-    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
-    threshold = jnp.uint32(min(int(rate * 2**32), 2**32 - 1))
-    return bits >= threshold
-
-
-def _dropout_keep(seed_scalar, shape, rate: float, interpret: bool):
-    """Per-(batch, head) keep mask. TPU path: hardware PRNG seeded with
-    ``seed_scalar``. Interpret path (CPU tests/dryrun): jax threefry — the
-    TPU PRNG primitives have no CPU lowering. Same-seed determinism holds on
-    both; the bit patterns differ across paths (dropout is distributional)."""
-    if interpret:
-        key = jax.random.PRNGKey(seed_scalar)
-        return jax.random.uniform(key, shape) >= rate
-    pltpu.prng_seed(seed_scalar)
-    return _keep_mask(shape, rate)
+from visualbert_tpu.ops.dropout import dropout_keep as _dropout_keep
 
 
 LOG2E = 1.4426950408889634

@@ -165,21 +165,7 @@ def reference_add_layer_norm(x, res, scale, bias, eps=1e-12):
 # LayerNorm(dropout(sublayer_out) + residual)) in ONE VMEM pass, with the
 # dropout mask drawn from the in-kernel PRNG and regenerated in backward.
 
-def _keep_mask(shape, rate: float):
-    bits = pltpu.prng_random_bits(shape)
-    bits = pltpu.bitcast(bits, jnp.uint32)
-    threshold = jnp.uint32(min(int(rate * 2**32), 2**32 - 1))
-    return bits >= threshold
-
-
-def _dropout_keep(seed_scalar, shape, rate: float, interpret: bool):
-    """TPU path: hardware PRNG. Interpret path (CPU tests/dryrun): jax
-    threefry — the TPU PRNG primitives have no CPU lowering. Same-seed
-    determinism holds on both paths."""
-    if interpret:
-        return jax.random.uniform(jax.random.PRNGKey(seed_scalar), shape) >= rate
-    pltpu.prng_seed(seed_scalar)
-    return _keep_mask(shape, rate)
+from visualbert_tpu.ops.dropout import dropout_keep as _dropout_keep
 
 
 def _dfwd_kernel(seed_ref, x_ref, r_ref, scale_ref, bias_ref,
