@@ -59,19 +59,24 @@ def measure(batch_size, use_flash=True, remat=False, scan_layers=True,
     from visualbert_tpu.parallel.mesh import create_mesh
     from visualbert_tpu.train.trainer import Trainer
 
+    n_chips = len(jax.devices())
+    mesh = create_mesh((n_chips, 1))
     cfg = VisualBertConfig.base(
         use_flash_attention=use_flash, remat=remat, scan_layers=scan_layers,
-        hidden_act=hidden_act, **cfg_overrides,
+        hidden_act=hidden_act,
+        # REQUIRED on >1 chips: the Pallas kernels dispatch via shard_map
+        # over this mesh (and the single-device-only paths gate on it)
+        mesh=mesh if n_chips > 1 else None,
+        **cfg_overrides,
     )
     model = VisualBertForTask(cfg, head_type="pretraining")
-    n_chips = len(jax.devices())
     trainer = Trainer(
         model=model,
         opt_config=OptimizerConfig(
             learning_rate=1e-4, schedule="warmup_linear", warmup=0.1, t_total=10000
         ),
         train_config=TrainConfig(),
-        mesh=create_mesh((n_chips, 1)),
+        mesh=mesh,
     )
     batch = synth_batch(batch_size)
     state = trainer.init_state(jax.random.PRNGKey(0), batch)

@@ -185,7 +185,9 @@ class OptimizerConfig:
     no_decay: Tuple[str, ...] = ("bias", "layer_norm", "LayerNorm")
     # Parameters whose name contains any of these are excluded from training
     # (reference excludes the pooler for pretraining, model_wrapper.py:104).
-    frozen: Tuple[str, ...] = ()
+    # None = task default (pretraining tasks freeze the pooler, reference
+    # model_wrapper.py:104); () = explicitly train everything.
+    frozen: Optional[Tuple[str, ...]] = None
 
 
 @dataclasses.dataclass(frozen=True)

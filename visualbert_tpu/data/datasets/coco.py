@@ -158,7 +158,11 @@ class CocoDetectorDataset(CocoCaptionsDataset):
 
         img = self.images.get(str(item["image_id"]))
         N = self.max_boxes
-        h, w = img["image"].shape[:2]
+        # content extent, NOT the padded canvas (ImageFolderStore pads to a
+        # square target): the reference window is the real image rectangle
+        # (coco_dataset.py:276-279)
+        h = int(img.get("height", img["image"].shape[0]))
+        w = int(img.get("width", img["image"].shape[1]))
         window = np.asarray([[0.0, 0.0, w - 1.0, h - 1.0]], np.float32)
         boxes = np.concatenate([window, np.asarray(img["boxes"], np.float32)])[:N]
         classes = np.concatenate(

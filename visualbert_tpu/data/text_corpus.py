@@ -76,19 +76,27 @@ class PackedCorpus:
     def piece(self, passage: int, start_sent: int, max_tokens: int) -> np.ndarray:
         """Sequential sentences from a passage until max_tokens
         (text_data.py:132-172 retrieve_a_piece)."""
+        return self.piece_with_span(passage, start_sent, max_tokens)[0]
+
+    def piece_with_span(self, passage: int, start_sent: int, max_tokens: int):
+        """piece() plus the number of sentences consumed — the matched
+        objective starts the continuation piece AFTER this span so positive
+        pairs don't overlap (reference uses disjoint pre-segmented chunks,
+        text_data.py:258-261)."""
         lo = int(self.passage_offsets[passage])
         hi = int(self.passage_offsets[passage + 1])
         out: List[np.ndarray] = []
         total = 0
-        s = lo + (start_sent % max(hi - lo, 1))
+        s0 = lo + (start_sent % max(hi - lo, 1))
+        s = s0
         while s < hi and total < max_tokens:
             sent = self.sentence(s)
             out.append(sent)
             total += len(sent)
             s += 1
         if not out:
-            return np.zeros(0, np.int32)
-        return np.concatenate(out)[:max_tokens]
+            return np.zeros(0, np.int32), 0
+        return np.concatenate(out)[:max_tokens], s - s0
 
 
 class TextOnlyDataset:
@@ -128,13 +136,13 @@ class TextOnlyDataset:
         return self.corpus.n_passages
 
     def _masked_piece(self, passage: int, start: int, budget: int, rng):
-        piece = self.corpus.piece(passage, start, budget)
+        piece, n_sents = self.corpus.piece_with_span(passage, start, budget)
         pieces = [self.ids_to_tokens[int(t)] for t in piece]
         tokens, labels = random_word_wwm_pieces(
             pieces, self.tokenizer, rng, self.mask_prob,
             group_continuations=self.group_continuations,
         )
-        return tokens[:budget], labels[:budget]
+        return tokens[:budget], labels[:budget], n_sents
 
     def __getitem__(self, args) -> Dict[str, np.ndarray]:
         i, rng = args
@@ -144,17 +152,22 @@ class TextOnlyDataset:
             # two half-length parts (reference text_data.py:252 seq_len//2)
             half = (T - 3) // 2
             start_a = int(rng.integers(1 << 30))
-            tokens_a, labels_a = self._masked_piece(i, start_a, half, rng)
+            tokens_a, labels_a, n_a = self._masked_piece(i, start_a, half, rng)
             if rng.random() < 0.5 and self.corpus.n_passages > 1:
                 j = int(rng.integers(self.corpus.n_passages))
                 while j == i:
                     j = int(rng.integers(self.corpus.n_passages))
-                tokens_b, labels_b = self._masked_piece(j, int(rng.integers(1 << 30)), half, rng)
+                tokens_b, labels_b, _ = self._masked_piece(
+                    j, int(rng.integers(1 << 30)), half, rng
+                )
                 match = 0
             else:
-                # a continuation piece of the same passage (reference uses
-                # the next pre-segmented chunk, text_data.py:258-261)
-                tokens_b, labels_b = self._masked_piece(i, start_a + 1, half, rng)
+                # the DISJOINT continuation: b starts after the sentences a
+                # consumed (reference uses the next pre-segmented chunk,
+                # text_data.py:258-261)
+                tokens_b, labels_b, _ = self._masked_piece(
+                    i, start_a + max(n_a, 1), half, rng
+                )
                 match = 1
             enc = assemble_pair(
                 tokens_a, tokens_b, self.tokenizer, T,
@@ -169,7 +182,7 @@ class TextOnlyDataset:
             }
 
         budget = T - 2
-        tokens, labels = self._masked_piece(i, int(rng.integers(1 << 30)), budget, rng)
+        tokens, labels, _ = self._masked_piece(i, int(rng.integers(1 << 30)), budget, rng)
 
         ids = np.zeros(T, np.int32)
         mask = np.zeros(T, np.int32)

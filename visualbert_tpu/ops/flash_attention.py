@@ -232,7 +232,10 @@ _flash.defvjp(_flash_fwd, _flash_bwd)
 # a ~100 MB relayout copy ("squeeze", ~7.5 ms/step at BERT-base bs=96). Here
 # the per-head [T, D] tiles are carved out INSIDE the kernel by static lane
 # slices of the VMEM block (cheap), so both neighbouring matmuls run at full
-# MXU width. Numerics identical to the heads-major kernel (same seeding).
+# MXU width. Numerics identical to the heads-major kernel at dropout 0; with
+# dropout active the masks differ (this kernel draws bits in _BWD_GROUP-head
+# blocks, the heads-major kernel per head — same distribution, different
+# streams).
 #
 # The feature axis is packed HEAD-MAJOR — [h₀(q,k,v), h₁(q,k,v), …], each
 # block D wide — so a tensor-parallel split of the feature axis hands every

@@ -15,6 +15,7 @@ import os
 from typing import Callable, Dict
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from visualbert_tpu.data.pipeline import Batcher, prefetch
@@ -64,8 +65,21 @@ def _trainer(cfg: TaskConfig, model) -> Trainer:
     )
 
 
+def _default_frozen_pooler(cfg: TaskConfig) -> TaskConfig:
+    """Pretraining tasks: the reference excludes the pooler from
+    optimization (model_wrapper.py:104). Applied only when the config left
+    ``optimizer.frozen`` unset (None); an explicit ``[]`` trains everything."""
+    if cfg.optimizer.frozen is not None:
+        return cfg
+    import dataclasses as _dc
+
+    return _dc.replace(
+        cfg, optimizer=_dc.replace(cfg.optimizer, frozen=("pooler",))
+    )
+
+
 def _run_fit(cfg: TaskConfig, trainer, train_ds, eval_ds, val_metric="accuracy",
-             dump_hook=None, val_metric_higher_is_better=None):
+             dump_hook=None, val_metric_higher_is_better=None, out_select=None):
     if val_metric_higher_is_better is None:
         val_metric_higher_is_better = val_metric != "loss"
     train_b = Batcher(
@@ -108,14 +122,21 @@ def _run_fit(cfg: TaskConfig, trainer, train_ds, eval_ds, val_metric="accuracy",
         rng_seed=cfg.train.seed,
     )
     if dump_hook is not None and eval_b is not None:
-        evaluate(trainer, state, eval_b, dump_hook, cfg.folder)
+        evaluate(trainer, state, eval_b, dump_hook, cfg.folder,
+                 out_select=out_select)
     return state, result
 
 
-def evaluate(trainer, state, eval_b, dump_hook, folder) -> Dict[str, float]:
+def evaluate(trainer, state, eval_b, dump_hook, folder,
+             out_select=None) -> Dict[str, float]:
     """Run the eval split once; collect scalar metrics and hand every
     (batch, outputs) pair to ``dump_hook`` for prediction files — the
-    reference's per-task result dumping (train.py:327-396)."""
+    reference's per-task result dumping (train.py:327-396).
+
+    ``out_select(out) -> dict`` reduces the output tree ON DEVICE before the
+    host transfer — tasks whose raw outputs are huge (vqa_advanced's
+    [B, T, 30522] logits ≈ 15 MB/example) must shrink them (e.g. argmax)
+    here or the collected eval split exhausts host memory."""
     from visualbert_tpu.train.loop import MetricAccumulator
 
     eval_fn = trainer.eval_step_fn()
@@ -123,6 +144,8 @@ def evaluate(trainer, state, eval_b, dump_hook, folder) -> Dict[str, float]:
     collected = []
     for batch in eval_b.epoch(0):
         out = eval_fn(state.params, trainer.shard_batch(batch))
+        if out_select is not None:
+            out = out_select(out)
         out = jax.device_get(out)
         bs = len(next(iter(batch.values())))
         acc.update(
@@ -255,12 +278,17 @@ def run_vqa_advanced(cfg: TaskConfig):
     trainer = _trainer(cfg, model)
     inv_vocab = {v: k for k, v in tok.vocab.items()}
 
+    def select(out):
+        # on-device argmax: never ship [B, T, 30522] fp32 logits to host
+        out = dict(out)
+        out["pred_ids"] = jnp.argmax(out.pop("logits"), axis=-1).astype(jnp.int32)
+        return out
+
     def dump(collected, folder):
         # decode the predicted answer tokens at the [MASK] slots
         preds = []
         for batch, out in collected:
-            logits = np.asarray(out["logits"], np.float32)  # [B, T, V]
-            ids = logits.argmax(-1)
+            ids = np.asarray(out["pred_ids"])
             labels = np.asarray(batch["masked_lm_labels"])
             for b in range(len(ids)):
                 slots = np.flatnonzero(labels[b] != -1)
@@ -275,7 +303,7 @@ def run_vqa_advanced(cfg: TaskConfig):
 
     return _run_fit(
         cfg, trainer, mk(train_ann), mk(eval_ann),
-        val_metric="mlm_accuracy", dump_hook=dump,
+        val_metric="mlm_accuracy", dump_hook=dump, out_select=select,
     )
 
 
@@ -306,12 +334,7 @@ def run_coco_pretrain(cfg: TaskConfig):
         two_sentence=bool(d.get("two_sentence", True)),
     )
     model = VisualBertForTask(cfg.model, head_type="pretraining")
-    # the reference excludes the pooler from pretraining optimization
-    # (model_wrapper.py:104) — reproduce unless the config already says so
-    if not cfg.optimizer.frozen:
-        import dataclasses as _dc
-
-        cfg = _dc.replace(cfg, optimizer=_dc.replace(cfg.optimizer, frozen=("pooler",)))
+    cfg = _default_frozen_pooler(cfg)
     trainer = _trainer(cfg, model)
     return _run_fit(cfg, trainer, ds, None, val_metric="loss")
 
@@ -370,10 +393,7 @@ def run_vcr_coco_pretrain(cfg: TaskConfig):
         trunk_blocks=tuple(d.get("trunk_blocks", (3, 4, 6))),
         layer4_blocks=int(d.get("layer4_blocks", 3)),
     )
-    if not cfg.optimizer.frozen:
-        import dataclasses as _dc
-
-        cfg = _dc.replace(cfg, optimizer=_dc.replace(cfg.optimizer, frozen=("pooler",)))
+    cfg = _default_frozen_pooler(cfg)
     trainer = _trainer(cfg, model)
     return _run_fit(
         cfg, trainer, mk(train_ann),

@@ -97,6 +97,10 @@ class ImageFolderStore:
             "image": prep["image"],
             "boxes": boxes,
             "classes": classes,
+            # true content extent inside the square padding — the full-image
+            # window box must cover this, not the padded canvas
+            "height": prep["height"],
+            "width": prep["width"],
         }
         if "segms" in meta:
             from visualbert_tpu.utils.boxes import make_mask
