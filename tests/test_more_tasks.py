@@ -201,3 +201,43 @@ def test_expand_coco():
     assert {a["image_id"] for a in new_val} == {"v1", "v4"}
     new_train2, _ = expand_coco(train, val, mini, exclude_minival=False)
     assert len(new_train2) == 11
+
+
+def test_detector_window_box_uses_content_extent(tmp_path):
+    """A non-square image padded to the square canvas must get a full-image
+    window box covering the CONTENT rectangle, not the padded canvas
+    (reference coco_dataset.py:276-279)."""
+    import json as _json
+
+    import numpy as np
+    from PIL import Image
+
+    from visualbert_tpu.data.datasets.coco import CocoDetectorDataset
+    from visualbert_tpu.data.tokenization import BertTokenizer
+    from visualbert_tpu.utils.images import ImageFolderStore
+
+    folder = tmp_path / "imgs"
+    folder.mkdir()
+    # 200x100 landscape image → resized to 64x32 at target 64 → 32 rows pad
+    Image.fromarray(
+        np.random.RandomState(0).randint(0, 255, (100, 200, 3), np.uint8)
+    ).save(folder / "img0.jpg")
+    (folder / "img0.json").write_text(_json.dumps({
+        "boxes": [[10, 10, 60, 40]], "names": ["person"],
+    }))
+
+    store = ImageFolderStore(str(folder), target=64)
+    got = store.get("img0")
+    assert got["image"].shape == (64, 64, 3)
+    assert int(got["height"]) == 32 and int(got["width"]) == 64
+
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]", "a", "b"]
+    tok = BertTokenizer({w: i for i, w in enumerate(vocab)})
+    ds = CocoDetectorDataset(
+        [{"image_id": "img0", "captions": ["a b a"]}], store, tok,
+        max_seq_length=12, max_boxes=4, two_sentence=False,
+        false_caption_ratio=0.0,
+    )
+    s = ds[(0, np.random.default_rng(0))]
+    window = s["boxes"][0]
+    np.testing.assert_allclose(window, [0.0, 0.0, 63.0, 31.0])
