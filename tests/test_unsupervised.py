@@ -310,3 +310,31 @@ def test_fused_mlm_xent_matches_unfused_unsup(tok, sym):
         float(o_fx["loss"]), float(o_ref["loss"]), rtol=2e-5, atol=2e-5
     )
     assert "mlm_logits" not in o_fx and "mlm_logits" in o_ref
+
+
+def test_matched_positive_pairs_disjoint(tok):
+    """Positive (matched) pairs must be built from DISJOINT passage spans —
+    b starts after the sentences a consumed (reference uses the next
+    pre-segmented chunk, text_data.py:258-261), not one sentence in."""
+    # one long passage of distinct single-token sentences: any a/b overlap
+    # would show up as shared token ids (mask_prob=0 keeps tokens intact)
+    passages = [[f"w{i}" for i in range(1, 33)]]
+    corpus = PackedCorpus.build(passages, tok)
+    ds = TextOnlyDataset(corpus, tok, max_seq_length=16,
+                         matched_objective=True, mask_prob=0.0)
+    checked = 0
+    for seed in range(40):
+        s = ds[(0, np.random.default_rng(seed))]
+        if int(s["matched_label"]) != 1:
+            continue
+        n = int(s["input_mask"].sum())
+        ids = s["input_ids"][:n]
+        seg = s["token_type_ids"][:n]
+        special = {tok.cls_id, tok.sep_id}
+        a = [int(t) for t, g in zip(ids, seg) if g == 0 and int(t) not in special]
+        b = [int(t) for t, g in zip(ids, seg) if g == 1 and int(t) not in special]
+        if not a or not b:
+            continue
+        assert not (set(a) & set(b)), (a, b)
+        checked += 1
+    assert checked >= 5, checked
