@@ -107,7 +107,7 @@ def measure(batch_size, use_flash=True, remat=False, scan_layers=True,
     return best
 
 
-def measure_eval_qps(batch_size=64, K=20):
+def measure_eval_qps(batch_size=128, K=20):  # swept: 128 beats 64 (+36%) and 256 (which degrades)
     """Secondary BASELINE metric: VQA2 eval QPS (forward-only, bf16)."""
     import jax
     import jax.numpy as jnp
