@@ -43,7 +43,7 @@ LOG2E = 1.4426950408889634
 # scoped-VMEM budget, so both directions generate dropout in groups of this
 # size with group-salted seeds (forward and backward MUST regenerate
 # identical masks).
-_BWD_GROUP = 6
+_BWD_GROUP = 12
 
 
 def _dropout_keep_grouped(seed0, b, n_heads, shape_t, rate, interpret):
