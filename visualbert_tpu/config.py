@@ -80,8 +80,8 @@ class VisualBertConfig:
     # not available in the output dict (metrics use the kernel's argmax).
     fused_mlm_xent: bool = False
     # Hidden-state dropout via a Pallas mask kernel (ops/dropout.py): writes
-    # the {0, 1/keep} multiplier straight from the on-chip PRNG instead of
-    # XLA's u32-bits → relayout → pred chain (~3 HBM round trips/site).
+    # an int8 {0,1} mask straight from the on-chip PRNG instead of XLA's
+    # u32-bits → relayout → pred chain (~3 HBM round trips/site).
     # Same Bernoulli distribution + gradient as nn.Dropout; different bits.
     fast_dropout: bool = False
     # The (data, model) jax.sharding.Mesh the model will run under. REQUIRED

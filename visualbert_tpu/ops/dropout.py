@@ -6,7 +6,9 @@ XLA's stock dropout lowering materializes u32 random bits for every element
 (4 bytes/elt), relayouts them (the rng-bit-generator's {2,0,1} layout never
 matches the consumer), and compares into a pred array — three HBM round
 trips per site, ~0.23 ms at BERT-base bench shapes. This kernel writes the
-bf16 ``{0, 1/(1-rate)}`` multiplier mask directly from the hardware PRNG:
+mask directly from the hardware PRNG — int8 ``{0, 1}`` for ``fast_dropout``
+(half the HBM bytes; the 1/keep rescale rides the consumer's fusion
+epilogue) or a ``{0, 1/(1-rate)}`` float multiplier via ``dropout_mask`` —
 one output write, no intermediate bits. The caller multiplies — XLA fuses
 the multiply into the producer matmul's epilogue exactly like its own
 select.
