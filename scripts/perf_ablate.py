@@ -253,3 +253,8 @@ if __name__ == "__main__":
     if want("train_fd_erf"):
         run_train("train: fastdrop + erf gelu", fused_mlm_xent=True,
                   fast_dropout=True, hidden_act="gelu")
+    if want("train_fd_lhs"):
+        run_train("train: fastdrop + latency-hiding sched", fused_mlm_xent=True,
+                  fast_dropout=True,
+                  compiler_options={"xla_tpu_scoped_vmem_limit_kib": "32768",
+                                    "xla_tpu_enable_latency_hiding_scheduler": "true"})
