@@ -50,6 +50,41 @@ def synth_batch(batch, tt=128, tv=100, dv=2048, vocab=30522, seed=0, n_pred=24):
     }
 
 
+def time_scan_steps(trainer, state, batch, K=10, repeats=3, seed=1):
+    """K train steps fused into ONE scan program, timed end-to-end with the
+    loss vector fetched as the sync (the shared harness for all hardware
+    benchmarks — the ~30 ms RPC of the remote tunnel must be amortized).
+    Returns (best examples_per_sec, final state)."""
+    import jax
+    import jax.numpy as jnp
+
+    step_inner = trainer.train_step_fn(nested=True)
+
+    def multi(state, batch, key):
+        def body(st, i):
+            st, m = step_inner(st, batch, jax.random.fold_in(key, i))
+            return st, m["loss"]
+
+        return jax.lax.scan(body, state, jnp.arange(K))
+
+    multi = jax.jit(multi, donate_argnums=(0,),
+                    compiler_options=trainer.compiler_options())
+    sharded = trainer.shard_batch(batch)
+    key = jax.random.key(seed, impl="rbg")
+    batch_size = len(next(iter(batch.values())))
+    state, losses = multi(state, sharded, key)
+    np.asarray(losses)  # sync
+    best = 0.0
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        state, losses = multi(state, sharded, key)
+        lv = np.asarray(losses)
+        dt = time.perf_counter() - t0
+        assert np.all(np.isfinite(lv)), lv
+        best = max(best, batch_size * K / dt)
+    return best, state
+
+
 def measure(batch_size, use_flash=True, remat=False, scan_layers=True,
             hidden_act="gelu", K=30, repeats=2, **cfg_overrides):
     import jax

@@ -40,27 +40,10 @@ trainer = Trainer(
     train_config=TrainConfig(), mesh=create_mesh((1, 1)),
 )
 state = trainer.init_state(jax.random.PRNGKey(0), batch)
-step = trainer.train_step_fn(nested=True)
-
-def multi(state, b, key):
-    def body(st, i):
-        st, m = step(st, b, jax.random.fold_in(key, i))
-        return st, m["loss"]
-    return jax.lax.scan(body, state, jnp.arange(K))
-
-multi = jax.jit(multi, donate_argnums=(0,),
-                compiler_options=trainer.compiler_options())
-sb = trainer.shard_batch(batch)
-key = jax.random.key(1, impl="rbg")
-t0 = time.perf_counter()
-state, losses = multi(state, sb, key)
-print("compile+first:", round(time.perf_counter() - t0, 1), "s; losses:",
-      np.asarray(losses))
-best = 0
-for _ in range(3):
-    t0 = time.perf_counter()
-    state, losses = multi(state, sb, key)
-    np.asarray(losses)
-    best = max(best, B * K / (time.perf_counter() - t0))
+import time as _t
+t0 = _t.perf_counter()
+from bench import time_scan_steps
+best, state = time_scan_steps(trainer, state, batch, K=K)
 print(f"unsup pretrain: {best:.0f} examples/s/chip "
-      f"(B={B}, T=30+tags+36 regions, bert-base, all losses)")
+      f"(B={B}, T=30+tags+36 regions, bert-base, all losses; "
+      f"first call incl. compile {_t.perf_counter()-t0:.0f}s)")

@@ -338,3 +338,24 @@ def test_matched_positive_pairs_disjoint(tok):
         assert not (set(a) & set(b)), (a, b)
         checked += 1
     assert checked >= 5, checked
+
+
+def test_matched_pairs_short_passage_wrap(tok):
+    """Short passages: a wrapped continuation must stop before a's span (or
+    fall back to a random passage with match=0) — never yield a positive
+    pair whose halves share sentences."""
+    passages = [[f"w{i}" for i in range(1, 5)], [f"w{i}" for i in range(10, 14)]]
+    corpus = PackedCorpus.build(passages, tok)
+    ds = TextOnlyDataset(corpus, tok, max_seq_length=16,
+                         matched_objective=True, mask_prob=0.0)
+    for seed in range(60):
+        s = ds[(seed % 2, np.random.default_rng(seed))]
+        if int(s["matched_label"]) != 1:
+            continue
+        n = int(s["input_mask"].sum())
+        ids = s["input_ids"][:n]
+        seg = s["token_type_ids"][:n]
+        special = {tok.cls_id, tok.sep_id}
+        a = [int(t) for t, g in zip(ids, seg) if g == 0 and int(t) not in special]
+        b = [int(t) for t, g in zip(ids, seg) if g == 1 and int(t) not in special]
+        assert not (set(a) & set(b)), (seed, a, b)

@@ -185,8 +185,9 @@ class OptimizerConfig:
     no_decay: Tuple[str, ...] = ("bias", "layer_norm", "LayerNorm")
     # Parameters whose name contains any of these are excluded from training
     # (reference excludes the pooler for pretraining, model_wrapper.py:104).
-    # None = task default (pretraining tasks freeze the pooler, reference
-    # model_wrapper.py:104); () = explicitly train everything.
+    # None = task default (the COCO-caption pretraining tasks freeze the
+    # pooler, reference model_wrapper.py:104; other tasks add nothing);
+    # () = explicitly train everything.
     frozen: Optional[Tuple[str, ...]] = None
 
 

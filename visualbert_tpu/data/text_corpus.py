@@ -78,18 +78,21 @@ class PackedCorpus:
         (text_data.py:132-172 retrieve_a_piece)."""
         return self.piece_with_span(passage, start_sent, max_tokens)[0]
 
-    def piece_with_span(self, passage: int, start_sent: int, max_tokens: int):
+    def piece_with_span(self, passage: int, start_sent: int, max_tokens: int,
+                        stop_sent: int | None = None):
         """piece() plus the number of sentences consumed — the matched
         objective starts the continuation piece AFTER this span so positive
         pairs don't overlap (reference uses disjoint pre-segmented chunks,
-        text_data.py:258-261)."""
+        text_data.py:258-261). ``stop_sent`` (relative, exclusive) bounds the
+        walk so a wrapped continuation never re-enters an earlier span."""
         lo = int(self.passage_offsets[passage])
         hi = int(self.passage_offsets[passage + 1])
         out: List[np.ndarray] = []
         total = 0
         s0 = lo + (start_sent % max(hi - lo, 1))
+        stop = hi if stop_sent is None else min(hi, lo + stop_sent)
         s = s0
-        while s < hi and total < max_tokens:
+        while s < stop and total < max_tokens:
             sent = self.sentence(s)
             out.append(sent)
             total += len(sent)
@@ -97,6 +100,9 @@ class PackedCorpus:
         if not out:
             return np.zeros(0, np.int32), 0
         return np.concatenate(out)[:max_tokens], s - s0
+
+    def passage_n_sentences(self, passage: int) -> int:
+        return int(self.passage_offsets[passage + 1]) - int(self.passage_offsets[passage])
 
 
 class TextOnlyDataset:
@@ -135,8 +141,11 @@ class TextOnlyDataset:
     def __len__(self):
         return self.corpus.n_passages
 
-    def _masked_piece(self, passage: int, start: int, budget: int, rng):
-        piece, n_sents = self.corpus.piece_with_span(passage, start, budget)
+    def _masked_piece(self, passage: int, start: int, budget: int, rng,
+                      stop_sent=None):
+        piece, n_sents = self.corpus.piece_with_span(
+            passage, start, budget, stop_sent=stop_sent
+        )
         pieces = [self.ids_to_tokens[int(t)] for t in piece]
         tokens, labels = random_word_wwm_pieces(
             pieces, self.tokenizer, rng, self.mask_prob,
@@ -164,11 +173,35 @@ class TextOnlyDataset:
             else:
                 # the DISJOINT continuation: b starts after the sentences a
                 # consumed (reference uses the next pre-segmented chunk,
-                # text_data.py:258-261)
-                tokens_b, labels_b, _ = self._masked_piece(
-                    i, start_a + max(n_a, 1), half, rng
-                )
-                match = 1
+                # text_data.py:258-261). If a reached the passage end, b
+                # wraps to the head but stops BEFORE a's first sentence; if
+                # a consumed the whole passage no disjoint continuation
+                # exists — fall back to a random other passage (match=0).
+                n_sent = max(self.corpus.passage_n_sentences(i), 1)
+                s0 = start_a % n_sent
+                b_start = s0 + n_a
+                if b_start < n_sent:
+                    tokens_b, labels_b, _ = self._masked_piece(i, b_start, half, rng)
+                    match = 1
+                elif s0 > 0:
+                    tokens_b, labels_b, _ = self._masked_piece(
+                        i, 0, half, rng, stop_sent=s0
+                    )
+                    match = 1
+                else:
+                    tokens_b, labels_b, match = [], [], 1
+                if match == 1 and not tokens_b:
+                    if self.corpus.n_passages > 1:
+                        j = int(rng.integers(self.corpus.n_passages))
+                        while j == i:
+                            j = int(rng.integers(self.corpus.n_passages))
+                        tokens_b, labels_b, _ = self._masked_piece(
+                            j, int(rng.integers(1 << 30)), half, rng
+                        )
+                        match = 0
+                    else:
+                        # single exhausted passage: duplicate unavoidable
+                        tokens_b, labels_b, _ = self._masked_piece(i, s0, half, rng)
             enc = assemble_pair(
                 tokens_a, tokens_b, self.tokenizer, T,
                 lm_labels_a=labels_a, lm_labels_b=labels_b,

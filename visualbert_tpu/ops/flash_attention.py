@@ -38,11 +38,11 @@ from visualbert_tpu.ops.dropout import dropout_keep as _dropout_keep
 LOG2E = 1.4426950408889634
 
 
-# Heads per group for the packed kernels' VPU stages: full-H batching of the
-# fp32 [H·T, T] intermediates overflows the backward kernel's 16 MB
-# scoped-VMEM budget, so both directions generate dropout in groups of this
-# size with group-salted seeds (forward and backward MUST regenerate
-# identical masks).
+# Heads per group for the packed kernels' VPU stages. Both directions
+# generate dropout in groups of this size with group-salted seeds (forward
+# and backward MUST regenerate identical masks). 12 = full-H for bert-base:
+# fits since the Trainer raised the scoped-VMEM budget to 32 MB (under the
+# stock 16 MB, full-H overflows and 6 was the ceiling).
 _BWD_GROUP = 12
 
 
@@ -313,8 +313,8 @@ def _packed_bwd_kernel(
     # dq/dk outputs instead of the [G, T, T] ds. All matmuls take bf16
     # operands with fp32 accumulation — fp32 operands would run the MXU in
     # its multi-pass fp32 mode; bf16 matches the XLA einsum-backward path.
-    # Heads are processed in groups of _BWD_GROUP: full-H batching of the
-    # fp32 [H·T, T] intermediates overflows the 16 MB scoped-VMEM budget.
+    # Heads are processed in groups of _BWD_GROUP (full-H at bert-base under
+    # the 32 MB scoped-VMEM budget; see the constant's comment).
     b = pl.program_id(0)
     bias2 = bias_ref[b] * LOG2E
     x = qkv_ref[0]

@@ -103,7 +103,8 @@ def _run_fit(cfg: TaskConfig, trainer, train_ds, eval_ds, val_metric="accuracy",
 
     if cfg.eval_only:
         assert eval_b is not None, "eval_only needs an eval split"
-        metrics = evaluate(trainer, state, eval_b, dump_hook, cfg.folder)
+        metrics = evaluate(trainer, state, eval_b, dump_hook, cfg.folder,
+                           out_select=out_select)
         from visualbert_tpu.train.loop import FitResult
 
         return state, FitResult(

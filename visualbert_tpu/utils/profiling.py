@@ -78,7 +78,7 @@ def xplane_op_summary(logdir: str, top_n: int = 25):
         xs.ParseFromString(f.read())
     agg = defaultdict(lambda: [0.0, 0])
     for plane in xs.planes:
-        if not plane.name.startswith("/device:TPU"):
+        if "TPU" not in plane.name:
             continue
         ev_meta = {m.id: m.name for m in plane.event_metadata.values()}
         for line in plane.lines:
@@ -86,7 +86,7 @@ def xplane_op_summary(logdir: str, top_n: int = 25):
                 continue
             for ev in line.events:
                 name = ev_meta.get(ev.metadata_id, "?")
-                if name.startswith("%while"):
+                if name.lstrip("%").startswith("while"):
                     continue
                 inst = name.split(" = ")[0]
                 pref = re.sub(r"\.\d+$", "", inst)
