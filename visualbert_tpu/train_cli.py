@@ -33,9 +33,14 @@ def main(argv=None):
         },
     )
     state, result = registry.run(cfg)
+    import math
+
+    best = result.best_metric
     print(json.dumps({
         "task": cfg.task,
-        "best_metric": result.best_metric,
+        # strict JSON: no Infinity/NaN (tasks without an eval split track
+        # no best metric)
+        "best_metric": best if math.isfinite(best) else None,
         "best_epoch": result.best_epoch,
         "epochs_run": result.epochs_run,
     }))
