@@ -284,3 +284,30 @@ def test_fill_collate_matches_sequential():
         assert set(a) == set(b)
         for k in a:
             np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]), err_msg=k)
+
+
+def test_time_scan_steps_harness():
+    """bench.time_scan_steps: the shared hardware-bench harness runs a fused
+    K-step scan and returns a positive rate + an advanced state."""
+    import jax
+    import numpy as np
+
+    from bench import synth_batch, time_scan_steps
+    from visualbert_tpu.config import OptimizerConfig, TrainConfig, VisualBertConfig
+    from visualbert_tpu.models.visualbert import VisualBertForTask
+    from visualbert_tpu.parallel.mesh import create_mesh
+    from visualbert_tpu.train.trainer import Trainer
+
+    cfg = VisualBertConfig.tiny(visual_embedding_dim=16)
+    model = VisualBertForTask(cfg, head_type="pretraining")
+    trainer = Trainer(
+        model=model,
+        opt_config=OptimizerConfig(learning_rate=1e-4, schedule=None, t_total=-1),
+        train_config=TrainConfig(),
+        mesh=create_mesh((8, 1)),
+    )
+    batch = synth_batch(8, tt=16, tv=4, dv=16, vocab=cfg.vocab_size, n_pred=3)
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    rate, state2 = time_scan_steps(trainer, state, batch, K=2, repeats=1)
+    assert rate > 0
+    assert int(np.asarray(state2.step)) == 4  # warmup K + repeats·K
