@@ -278,13 +278,12 @@ def _packed_fwd_kernel(seed_ref, qkv_ref, bias_ref, o_ref, stats_ref=None,
     p = e * pl.reciprocal(ssum, approx=False)
     # single combined stat m2' = m2 + log2(Σe): the backward reconstructs
     # p = exp2(t − m2') with ONE exp2 and no per-element normalize multiply.
-    # Layout [T, H] (lanes = H, sublanes = T): an [H, T, 1] block would pad
-    # its 1-wide lane dim to 128 (128× HBM bloat); here the columns stay
-    # lane-resident and the backward slices [T, 1] columns directly.
+    # Layout [H, T] (lanes = T): a [T, H] layout pads its H=12 lanes to 128
+    # (10× HBM bloat, ~11 MB/layer each way); the [T, 1]→[T] squeeze here
+    # and the [G, T]→[G, T, 1] view in the backward are cheap relayouts.
     if stats_ref is not None:
-        m2p = m2 + jnp.log2(ssum)
-        for h in range(n_heads):
-            stats_ref[0, :, h:h + 1] = m2p[h]
+        m2p = m2 + jnp.log2(ssum)  # [H, T, 1]
+        stats_ref[0] = m2p[:, :, 0]
     if rate > 0.0:
         keep = _dropout_keep_grouped(
             seed_ref[0], b, n_heads, (T, p.shape[-1]), rate, interpret
@@ -336,7 +335,7 @@ def _packed_bwd_kernel(
             for h in heads
         ]
         t = jnp.stack(s_all) * c1 + bias2[None, None, :]
-        m2p = jnp.stack([stats_ref[0, :, h:h + 1] for h in heads])  # [G, T, 1]
+        m2p = stats_ref[0, g0:g0 + G][:, :, None]  # [G, T, 1]
         p = jnp.exp2(t - m2p)  # [G, T, T] pre-dropout probs, fp32
         if rate > 0.0:
             keep = _dropout_keep(
@@ -574,7 +573,7 @@ def _flash_packed_fwd_impl(qkv, key_bias, rate, n_heads, d, seed, with_stats=Tru
     B, T, F = qkv.shape
     in_spec = pl.BlockSpec((1, T, F), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((1, T, F // 3), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM)
-    stats_spec = pl.BlockSpec((1, T, n_heads), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM)
+    stats_spec = pl.BlockSpec((1, n_heads, T), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM)
     bias_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     scale = 1.0 / (d ** 0.5)
     if not with_stats:
@@ -609,7 +608,7 @@ def _flash_packed_fwd_impl(qkv, key_bias, rate, n_heads, d, seed, with_stats=Tru
         ),
         out_shape=[
             jax.ShapeDtypeStruct((B, T, F // 3), qkv.dtype),
-            jax.ShapeDtypeStruct((B, T, n_heads), jnp.float32),
+            jax.ShapeDtypeStruct((B, n_heads, T), jnp.float32),
         ],
         interpret=_interpret(),
         compiler_params=None if _interpret() else pltpu.CompilerParams(
@@ -628,7 +627,7 @@ def _flash_packed_bwd(rate, n_heads, d, residuals, do):
     B, T, F = qkv.shape
     in_spec = pl.BlockSpec((1, T, F), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM)
     do_spec = pl.BlockSpec((1, T, F // 3), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM)
-    stats_spec = pl.BlockSpec((1, T, n_heads), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM)
+    stats_spec = pl.BlockSpec((1, n_heads, T), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM)
     bias_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     scale = 1.0 / (d ** 0.5)
     dqkv = pl.pallas_call(
