@@ -31,6 +31,36 @@ def test_op_parity(n, h, v):
     assert (np.asarray(am_k) == np.asarray(am_r)).all()
 
 
+def test_op_sharded_equals_local():
+    """shard_map dispatch over a (4, 2) mesh reproduces the local op's
+    values and gradients (rows split over data×model, emb/bias psum'd)."""
+    from visualbert_tpu.parallel.mesh import create_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    mesh = create_mesh((4, 2))
+    rng = np.random.RandomState(2)
+    n, h, v = 48, 32, 300
+    x = jnp.asarray(rng.randn(n, h).astype(np.float32))
+    E = jnp.asarray(rng.randn(v, h).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.randn(v).astype(np.float32) * 0.1)
+    labels = jnp.asarray(rng.randint(0, v, n).astype(np.int32))
+
+    def loss(fn):
+        return lambda x, E, b: jnp.sum(fn(x, E, b, labels)[0] * jnp.arange(n))
+
+    local = jax.value_and_grad(loss(mlm_xent), argnums=(0, 1, 2))
+    shard = jax.value_and_grad(
+        loss(lambda *a: mlm_xent(*a, mesh=mesh)), argnums=(0, 1, 2)
+    )
+    v_l, g_l = jax.jit(local)(x, E, b)
+    v_s, g_s = jax.jit(shard)(x, E, b)
+    np.testing.assert_allclose(float(v_s), float(v_l), rtol=1e-6)
+    for a, c in zip(g_s, g_l):
+        # psum reorders the fp32 partial-sum accumulation vs local
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=1e-4)
+
+
 def test_op_grads():
     rng = np.random.RandomState(1)
     n, h, v = 48, 64, 640
@@ -127,9 +157,9 @@ def test_model_fused_equals_unfused():
         )
 
 
-def test_fused_xent_guard_on_mesh():
-    """fused_mlm_xent on a >1-device mesh must fall back to the einsum path
-    (the pallas kernel has no GSPMD rule) and still train."""
+def test_fused_xent_shard_map_on_mesh():
+    """fused_mlm_xent on a >1-device mesh dispatches through shard_map
+    (rows over data×model) and still trains."""
     import jax
     import numpy as np
 

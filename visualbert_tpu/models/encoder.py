@@ -62,18 +62,22 @@ def activation(name: str):
 def fast_dropout_or_none(module: nn.Module, x: Array, rate: float,
                          cfg: VisualBertConfig):
     """Apply the Pallas mask-kernel dropout when it applies, else None (the
-    caller falls back to nn.Dropout). One home for the guard: the kernel has
-    no GSPMD rule, so >1-device meshes always take the fallback."""
+    caller falls back to nn.Dropout). One home for the guard: on >1-device
+    meshes the kernel is dispatched through shard_map (batch on ``data``),
+    which needs the leading dim to divide over the data axis — otherwise
+    fall back."""
     if rate <= 0.0 or not cfg.fast_dropout:
         return None
-    if cfg.mesh is not None and cfg.mesh.size > 1:
-        return None
+    mesh = cfg.mesh
+    if mesh is not None and mesh.size > 1:
+        if x.shape[0] % mesh.shape.get("data", 1) != 0:
+            return None
     from visualbert_tpu.ops.dropout import fast_dropout
 
     seed = jax.random.randint(
         module.make_rng("dropout"), (1,), 0, 2**31 - 1, dtype=jnp.int32
     )
-    return fast_dropout(x, rate, seed)
+    return fast_dropout(x, rate, seed, mesh=mesh)
 
 
 class FusedQKV(nn.Module):

@@ -83,18 +83,24 @@ class PreTrainingHeads(nn.Module):
             name="seq_relationship",
         )(pooled_output).astype(jnp.float32)
 
-        # single-device meshes only: the xent pallas_call has no GSPMD rule
-        # (under >1 devices the unfused einsum path below shards fine)
-        if (cfg.fused_mlm_xent and labels is not None
-                and (cfg.mesh is None or cfg.mesh.size == 1)):
+        # >1-device meshes dispatch the xent pallas_call via shard_map (rows
+        # over data×model); fall back to the unfused einsum only when the
+        # rows don't divide over the mesh
+        B, P, H = transformed.shape
+        mesh_ok = (
+            cfg.mesh is None
+            or cfg.mesh.size == 1
+            or (B * P) % cfg.mesh.size == 0
+        )
+        if cfg.fused_mlm_xent and labels is not None and mesh_ok:
             from visualbert_tpu.ops.mlm_xent import mlm_xent
 
-            B, P, H = transformed.shape
             nll, am = mlm_xent(
                 transformed.reshape(B * P, H),
                 word_embedding,
                 bias,
                 labels.reshape(B * P),
+                mesh=cfg.mesh,
             )
             return None, nsp_logits, nll.reshape(B, P), am.reshape(B, P)
 

@@ -305,22 +305,27 @@ class UnsupervisedVisualBert(nn.Module):
             out["matched_logits"] = matched_logits
 
             # fused streaming softmax-xent over the 30522 decoder (no
-            # [B·T, vocab] fp32 logits in HBM); single-device meshes only —
-            # the pallas kernel has no GSPMD rule
+            # [B·T, vocab] fp32 logits in HBM); >1-device meshes dispatch
+            # through shard_map (rows over data×model) when the rows divide
+            B, T, H = lang_out.shape
+            mesh_ok = (
+                cfg.mesh is None or cfg.mesh.size == 1
+                or (B * T) % cfg.mesh.size == 0
+            )
             use_fused = (
                 cfg.fused_mlm_xent and ucfg.task_mask_lm and labels is not None
-                and (cfg.mesh is None or cfg.mesh.size == 1)
+                and mesh_ok
             )
             if use_fused:
                 from visualbert_tpu.ops.mlm_xent import mlm_xent
 
-                B, T, H = lang_out.shape
                 transformed = self.mlm_transform(lang_out)
                 nll, _ = mlm_xent(
                     transformed.reshape(B * T, H),
                     word_emb,
                     self.mlm_bias.astype(jnp.float32),
                     labels.reshape(B * T),
+                    mesh=cfg.mesh,
                 )
                 l = losses.masked_nll_mean(nll, labels)
                 out["masked_lm_loss"] = l

@@ -105,28 +105,57 @@ def _mask_impl(shape, rate, seed, dtype):
     return out
 
 
-def dropout_mask(shape, rate: float, seed, dtype=jnp.bfloat16) -> jax.Array:
+def dropout_mask(shape, rate: float, seed, dtype=jnp.bfloat16, mesh=None) -> jax.Array:
     """``{0, 1/(1-rate)}`` multiplier mask of ``shape``.
 
     seed: int32 scalar or [1] array (fold the site's RNG key into it).
     The mask is constant w.r.t. autodiff (jax treats it as an independent
     input), so ``x * mask`` has exactly nn.Dropout's gradient.
+
+    mesh: a (data, model) ``jax.sharding.Mesh``. Required whenever the
+    enclosing jit runs on >1 device: pallas_call has no GSPMD partitioning
+    rule, so the kernel is dispatched through ``jax.shard_map`` — leading
+    (batch) axis on ``data``, shard-decorrelated seeds, mask replicated
+    along ``model`` (every model peer seeds identically). The leading dim
+    must divide by the data axis (callers check and fall back).
     """
     seed = jnp.asarray(seed, jnp.int32).reshape((1,))
+    if mesh is not None and mesh.size > 1:
+        from jax.sharding import PartitionSpec as P
+
+        dd = mesh.shape.get("data", 1)
+        assert shape[0] % dd == 0, (shape, dd)
+        local = (shape[0] // dd,) + tuple(shape[1:])
+
+        def body(seed_l):
+            di = jax.lax.axis_index("data").astype(jnp.int32)
+            # stride shard seeds apart (same constant family as the flash
+            # kernel's shard decorrelation)
+            s = (seed_l + di * jnp.int32(1_000_003)) * jnp.int32(65537)
+            return _mask_impl(local, float(rate), s, dtype)
+
+        return jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P(),),
+            out_specs=P("data", *((None,) * (len(shape) - 1))),
+            check_vma=False,
+        )(seed)
     # scale block seeds apart so adjacent sites never share a bit stream
     return _mask_impl(tuple(shape), float(rate), seed * jnp.int32(65537), dtype)
 
 
-def fast_dropout(x: jax.Array, rate: float, seed) -> jax.Array:
+def fast_dropout(x: jax.Array, rate: float, seed, mesh=None) -> jax.Array:
     """Dropout via a fused mask kernel; gradient-equivalent to nn.Dropout.
 
     The mask is stored as int8 {0,1} (half the HBM bytes of a bf16
     multiplier; each mask is written once and read by both the forward and
     backward multiply) and rescaled to {0, 1/keep} inside the consumer's
-    fusion epilogue."""
+    fusion epilogue. ``mesh`` dispatches the mask kernel through shard_map
+    on >1-device meshes (see dropout_mask)."""
     if rate <= 0.0:
         return x
-    mask = dropout_mask(x.shape, rate, seed, jnp.int8)
+    mask = dropout_mask(x.shape, rate, seed, jnp.int8, mesh=mesh)
     inv = jnp.asarray(1.0 / (1.0 - rate), x.dtype)
     m = jax.lax.stop_gradient(mask).astype(x.dtype) * inv
     return x * m

@@ -309,15 +309,36 @@ def _mlm_nll_bwd(res, cts):
 _mlm_nll.defvjp(_mlm_nll_fwd, _mlm_nll_bwd)
 
 
-def mlm_xent(x, embedding, bias, labels):
+def mlm_xent(x, embedding, bias, labels, mesh=None):
     """Per-row NLL + argmax of the tied-decoder softmax, fused.
 
     x: [N, H] transformed hidden states (bf16/fp32)
     embedding: [V, H] tied word-embedding table (used as decoder weight)
     bias: [V] fp32 decoder bias
     labels: [N] int32 (-1 entries are computed but masked by the caller)
+    mesh: a (data, model) ``jax.sharding.Mesh``. Required whenever the
+    enclosing jit runs on >1 device: pallas_call has no GSPMD partitioning
+    rule, so the op is dispatched through ``jax.shard_map`` — rows split
+    over BOTH mesh axes (the op is batch-parallel; every device takes a
+    row slab), embedding/bias replicated into each shard (shard_map's
+    transpose psums their cotangents, the same all-reduce the unfused
+    einsum path pays for d_embedding). N must divide by mesh.size
+    (callers check and fall back to the unfused path).
     Returns (nll [N] fp32, argmax [N] int32).
     """
+    if mesh is not None and mesh.size > 1:
+        from jax.sharding import PartitionSpec as P
+
+        N = x.shape[0]
+        assert N % mesh.size == 0, (N, mesh.size)
+        axes = ("data", "model")
+        return jax.shard_map(
+            functools.partial(mlm_xent, mesh=None),
+            mesh=mesh,
+            in_specs=(P(axes, None), P(None, None), P(None), P(axes)),
+            out_specs=(P(axes), P(axes)),
+            check_vma=False,
+        )(x, embedding, bias, labels)
     N, H = x.shape
     V = embedding.shape[0]
     Np = _round_up(max(N, 8), 256) if N > 8 else _round_up(N, 8)
