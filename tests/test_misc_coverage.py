@@ -118,3 +118,40 @@ def test_run_folder_tee(tmp_path):
     # second run gets a new file
     path2 = add_run_folder(str(tmp_path))
     assert path2 != path
+
+
+def test_gelu_erf_fast_accuracy():
+    """The A&S-7.1.26 fast erf-GELU (used automatically under bf16 compute)
+    must stay within 2e-6 absolute of the exact-erf GELU (2.2e-7 in exact
+    arithmetic + fp32 rounding of the chain) — below one bf16 ulp of any
+    activation of magnitude > 5e-4."""
+    import math
+
+    import jax
+    import jax.numpy as jnp
+
+    from visualbert_tpu.models.encoder import _gelu_erf_fast, activation
+
+    x64 = np.concatenate(
+        [np.linspace(-30, 30, 50001), np.linspace(-2, 2, 50001)]
+    )
+    exact = 0.5 * x64 * (1.0 + np.vectorize(math.erf)(x64 / np.sqrt(2.0)))
+    fast = np.asarray(_gelu_erf_fast(jnp.asarray(x64, jnp.float32)), np.float64)
+    assert np.abs(fast - exact).max() < 2e-6
+
+    # dtype dispatch: bf16 → fast path, fp32 → exact erf
+    assert activation("gelu", jnp.bfloat16) is _gelu_erf_fast
+    assert activation("gelu", jnp.float32) is not _gelu_erf_fast
+
+    # under bf16 rounding the two paths agree to within one bf16 step
+    # (~0.01% of points flip the last bit at a rounding boundary); in the
+    # deep negative tail outputs are absolutely tiny (<2e-6)
+    xb = jnp.asarray(x64, jnp.bfloat16)
+    a = np.asarray(_gelu_erf_fast(xb).astype(jnp.float32), np.float64)
+    b = np.asarray(
+        jax.nn.gelu(xb.astype(jnp.float32), approximate=False).astype(jnp.bfloat16)
+        .astype(jnp.float32),
+        np.float64,
+    )
+    ulp = np.abs(b) * 2.0**-8
+    assert (np.abs(a - b) <= np.maximum(2 * ulp, 2e-6)).all()

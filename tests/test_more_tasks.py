@@ -241,3 +241,43 @@ def test_detector_window_box_uses_content_extent(tmp_path):
     s = ds[(0, np.random.default_rng(0))]
     window = s["boxes"][0]
     np.testing.assert_allclose(window, [0.0, 0.0, 63.0, 31.0])
+
+
+def test_unsup_pretrain_qa_cotraining(tmp_path):
+    """VERDICT r2 item 6: task_qa with an AnswerTable wired through the
+    registry — string answers relabeled to ids, qa_loss trained, and
+    qa_accuracy reported (reference LXMERTEvaluator, lxmert_data.py:892-946)."""
+    import json as _json
+
+    from visualbert_tpu.tasks import registry
+    from visualbert_tpu.utils.config_io import parse_task_config
+
+    table_path = str(tmp_path / "answers.json")
+    with open(table_path, "w") as f:
+        _json.dump([f"a{i}" for i in range(4)], f)
+
+    cfg = parse_task_config({
+        "task": "unsup_pretrain",
+        "folder": str(tmp_path / "run"),
+        "data": {
+            "synthetic": 64, "synthetic_answers": 4, "max_seq_length": 12,
+            "n_regions": 6, "task_qa": True, "answer_table": table_path,
+            "matched_prob": 0.0,  # always matched: every row carries its answer
+        },
+        "model": {
+            "vocab_size": 512, "hidden_size": 32, "num_hidden_layers": 1,
+            "num_attention_heads": 2, "intermediate_size": 64,
+            "max_position_embeddings": 32, "visual_embedding_dim": 16,
+            "hidden_dropout_prob": 0.0, "attention_probs_dropout_prob": 0.0,
+            "dtype": "float32",
+        },
+        "optimizer": {"learning_rate": 1e-3, "schedule": "none", "t_total": -1},
+        "train": {"train_batch_size": 8, "num_train_epochs": 3, "log_every": 0},
+    })
+    state, result = registry.run(cfg)
+    hist = result.history[-1]
+    assert "train_qa_loss" in hist and np.isfinite(hist["train_qa_loss"])
+    assert "train_qa_accuracy" in hist
+    # learnable mapping (first object's channel signature → answer id):
+    # accuracy must beat 1/4 chance by the last epoch
+    assert hist["train_qa_accuracy"] > 0.3, result.history

@@ -157,7 +157,10 @@ class UnsupervisedPretrainDataset:
                 # the reference; QA answer only on matched pairs
                 sample["ans"] = np.int32(-1)
             else:
-                sample["ans"] = np.int32(item.get("ans", -1))
+                a = item.get("ans", -1)
+                # string answers must be relabeled through an AnswerTable
+                # upstream (tasks/registry.py); unmapped stay ignored
+                sample["ans"] = np.int32(a if isinstance(a, (int, np.integer)) else -1)
         return sample
 
 
@@ -168,7 +171,11 @@ def make_synthetic(
     n_regions: int = 6,
     feat_dim: int = 16,
     seed: int = 0,
+    answers: int = 0,
 ):
+    """``answers > 0`` attaches a learnable QA answer string ("a<k>",
+    k = first object id mod ``answers``) to each annotation for the QA
+    co-training path (reference ans field, lxmert_data.py:105-141)."""
     from visualbert_tpu.data.features import ChunkFeatures
 
     rng = np.random.default_rng(seed)
@@ -193,5 +200,8 @@ def make_synthetic(
             "img_w": 10.0,
         }
         w = words[int(obj[0]) % len(words)]
-        annotations.append({"image_id": str(i), "sentence": " ".join([w] * 5)})
+        item = {"image_id": str(i), "sentence": " ".join([w] * 5)}
+        if answers:
+            item["ans"] = f"a{int(obj[0]) % answers}"
+        annotations.append(item)
     return annotations, ChunkFeatures(chunk)

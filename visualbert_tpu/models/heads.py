@@ -36,7 +36,7 @@ class MLMTransform(nn.Module):
             ),
             name="dense",
         )(hidden)
-        x = activation(cfg.hidden_act)(x)
+        x = activation(cfg.hidden_act, cfg.dtype)(x)
         x = nn.LayerNorm(
             epsilon=cfg.layer_norm_eps,
             dtype=jnp.float32,

@@ -344,9 +344,17 @@ class UnsupervisedVisualBert(nn.Module):
             if ucfg.task_qa and batch.get("ans") is not None:
                 ans_logits = self.answer_head(pooled)
                 out["answer_logits"] = ans_logits
-                l = losses.cross_entropy_ignore_index(ans_logits, batch["ans"])
+                ans = batch["ans"]
+                l = losses.cross_entropy_ignore_index(ans_logits, ans)
                 out["qa_loss"] = l
                 total = total + l
+                # QA co-training accuracy over labeled rows (reference
+                # LXMERTEvaluator, lxmert_data.py:892-946)
+                valid = ans >= 0
+                correct = (jnp.argmax(ans_logits, -1) == ans) & valid
+                out["qa_accuracy"] = (
+                    correct.sum() / jnp.maximum(valid.sum(), 1)
+                ).astype(jnp.float32)
 
         if (
             ucfg.task_obj_predict

@@ -236,6 +236,12 @@ class VisualBertForTask(nn.Module):
                 hit = jnp.where(pos_mask, hit, False)
                 n_entities = jnp.maximum(pos_mask.sum(), 1)
                 out["accuracy"] = hit.sum() / n_entities
+                # reachable soft-label mass per entity (gold boxes outside
+                # the kept regions cap the achievable accuracy) — reference
+                # upper_bound_labels, modeling.py:1595-1596,1652
+                out["upperbound_accuracy"] = (
+                    jnp.where(pos_mask, label.sum(-1), 0.0).sum() / n_entities
+                )
                 out["entity_num"] = pos_mask.sum()
         else:
             raise ValueError(f"unknown head_type {self.head_type}")

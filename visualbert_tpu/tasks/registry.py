@@ -577,6 +577,17 @@ def run_unsup_pretrain(cfg: TaskConfig):
     else:
         sym = SymbolicVocab([f"obj{i}" for i in range(32)], [f"attr{i}" for i in range(8)])
 
+    # QA co-training answer table (reference LXMERTDataset relabeling,
+    # lxmert_data.py:105-141): answers arrive as strings in the annotations
+    # and map through the normalized AnswerTable; unmapped → -1 (ignored)
+    answer_table = None
+    num_answers = int(d.get("num_answers", 9500))
+    if d.get("answer_table"):
+        from visualbert_tpu.data.answer_table import AnswerTable
+
+        answer_table = AnswerTable.from_json(d["answer_table"])
+        num_answers = len(answer_table)
+
     ucfg = UnsupervisedConfig(
         bert=cfg.model,
         visual_feat_dim=cfg.model.visual_embedding_dim,
@@ -584,10 +595,12 @@ def run_unsup_pretrain(cfg: TaskConfig):
         attr_id_num=sym.n_attr,
         symbolic_vocab_size=sym.size,
         task_qa=bool(d.get("task_qa", False)),
+        num_answers=num_answers,
     )
     if "synthetic" in d:
         ann, feats = up.make_synthetic(
-            int(d["synthetic"]), tok, sym, feat_dim=cfg.model.visual_embedding_dim
+            int(d["synthetic"]), tok, sym, feat_dim=cfg.model.visual_embedding_dim,
+            answers=int(d.get("synthetic_answers", 0)),
         )
     else:
         from visualbert_tpu.data.features import H5Features
@@ -595,6 +608,12 @@ def run_unsup_pretrain(cfg: TaskConfig):
         with open(d["annotations"]) as f:
             ann = json.load(f)
         feats = H5Features(d["features_h5"])
+    if answer_table is not None:
+        for item in ann:
+            a = item.get("ans")
+            if isinstance(a, str):
+                mapped = answer_table.ans_to_id(a)
+                item["ans"] = -1 if mapped is None else int(mapped)
 
     ds_kwargs = dict(
         max_seq_length=int(d.get("max_seq_length", 30)),

@@ -224,3 +224,20 @@ def from_config(opt_cfg: OptimizerConfig, decay_mask=None) -> optax.GradientTran
 
         tx = optax.GradientTransformation(tx.init, update)
     return tx
+
+
+def reset_schedule(opt_state):
+    """Warm-start surgery (reference
+    ``unsupervised_visualbert/src/pretrain/lxmert_pretrain.py:455-473``):
+    keep the Adam moments but zero the schedule step counter, so a model
+    fine-tuned from a mid-pretrain checkpoint restarts its warmup instead
+    of inheriting the pretrain schedule position. Works on a bare
+    ``BertAdamState`` or any pytree containing them (optax chains)."""
+    import jax.numpy as jnp
+
+    def fix(s):
+        if isinstance(s, BertAdamState):
+            return s._replace(step=jnp.zeros_like(s.step))
+        return s
+
+    return jax.tree.map(fix, opt_state, is_leaf=lambda x: isinstance(x, BertAdamState))

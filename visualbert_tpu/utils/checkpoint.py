@@ -70,6 +70,46 @@ class CheckpointManager:
         )
         return self._ckptr.restore(path, abstract)
 
+    def restore_params(self, target_params: Any, step: Optional[int] = None,
+                       best: bool = False) -> Any:
+        """Params-only warm-start restore (reference ``reset_schedule`` /
+        params-only load, ``lxmert_pretrain.py:455-473`` and
+        ``load_lxmert_from_pretrain_noqa``, ``qa_answer_table.py:163``):
+        read ONLY the checkpoint's ``params`` subtree and merge it into
+        ``target_params``, leaving the caller's fresh optimizer state and
+        step counter untouched. Tolerant like the reference's flexible
+        loaders: leaves missing from the checkpoint or with mismatched
+        shapes keep the target's (freshly initialized) value — so a
+        fine-tune model with a new head warm-starts its trunk from a
+        mid-pretrain checkpoint whose opt_state/heads differ."""
+        if best:
+            path = os.path.join(self.directory, "best")
+        else:
+            if step is None:
+                step = self.latest_step()
+                if step is None:
+                    raise FileNotFoundError(f"no checkpoints in {self.directory}")
+            path = self._path(step)
+        raw = self._ckptr.restore(path)  # as-saved pytree of host arrays
+        saved = raw.get("params", raw) if isinstance(raw, dict) else raw
+
+        skipped = []
+
+        def merge(tgt, src, prefix):
+            if isinstance(tgt, dict):
+                return {
+                    k: merge(v, src.get(k) if isinstance(src, dict) else None,
+                             prefix + (k,))
+                    for k, v in tgt.items()
+                }
+            if src is None or getattr(src, "shape", None) != getattr(tgt, "shape", None):
+                skipped.append("/".join(prefix))
+                return tgt
+            return jax.numpy.asarray(src, dtype=getattr(tgt, "dtype", None))
+
+        merged = merge(target_params, saved, ())
+        return merged, skipped
+
     def _gc(self):
         steps = sorted(
             int(m.group(1))
