@@ -14,8 +14,9 @@ sys.path.insert(0, ".")
 from bench import synth_batch  # noqa: E402
 
 LOGDIR = sys.argv[1] if len(sys.argv) > 1 else "/tmp/jb_trace"
-BATCH = 96
+BATCH = int(os.environ.get("PROF_BATCH", 96))
 K = 10
+ACT = os.environ.get("PROF_ACT", "gelu_tanh")
 
 
 def main():
@@ -28,7 +29,7 @@ def main():
     from visualbert_tpu.train.trainer import Trainer
 
     cfg = VisualBertConfig.base(
-        use_flash_attention=True, scan_layers=False, hidden_act="gelu_tanh",
+        use_flash_attention=True, scan_layers=False, hidden_act=ACT,
         fused_mlm_xent=True, fast_dropout=True,
     )
     model = VisualBertForTask(cfg, head_type="pretraining")

@@ -51,3 +51,47 @@ def test_vcr_eval_dump(tmp_path):
     logits = np.load(path)
     assert logits.shape[1] == 4
     assert np.isfinite(logits).all()
+
+
+def test_nlvr2_dump_order_independent(tmp_path, monkeypatch):
+    """VERDICT r2 item 7: identifiers ride inside batches (example_index),
+    so the NLVR2 report is correct even when eval batches arrive in a
+    shuffled order."""
+    import visualbert_tpu.tasks.registry as reg
+    from visualbert_tpu.data.pipeline import Batcher
+
+    cfg_dict = {
+        "task": "nlvr2",
+        "folder": str(tmp_path / "run"),
+        "eval_only": True,
+        "data": {"synthetic": 64, "max_seq_length": 12,
+                 "max_regions_per_image": 6},
+        "model": TINY_MODEL,
+        "train": {"train_batch_size": 8, "eval_batch_size": 8, "log_every": 0},
+    }
+
+    def read_report(folder):
+        path = os.path.join(folder, "nlvr2_report.csv")
+        with open(path) as f:
+            return sorted(line.strip() for line in f if line.strip())
+
+    state, res1 = registry.run(parse_task_config(cfg_dict))
+    rep1 = read_report(cfg_dict["folder"])
+    acc1 = res1.history[0]["official_accuracy"]
+
+    # shuffle the eval iteration order
+    orig_epoch = Batcher.epoch
+
+    def shuffled_epoch(self, epoch=0):
+        batches = list(orig_epoch(self, epoch))
+        if not getattr(self, "shuffle", True):  # only perturb eval batchers
+            rng = np.random.RandomState(0)
+            rng.shuffle(batches)
+        return iter(batches)
+
+    monkeypatch.setattr(Batcher, "epoch", shuffled_epoch)
+    cfg_dict["folder"] = str(tmp_path / "run2")
+    state, res2 = registry.run(parse_task_config(cfg_dict))
+    rep2 = read_report(cfg_dict["folder"])
+    assert rep1 == rep2
+    assert res2.history[0]["official_accuracy"] == acc1

@@ -80,6 +80,9 @@ class NLVR2Dataset:
             "visual_embeddings": visual,
             "image_mask": image_mask,
             "visual_embeddings_type": vis_type,
+            # annotation-list position, shipped INSIDE the batch so eval
+            # dumps recover identifiers without coupling to batch order
+            "example_index": np.int32(i),
         }
         if "label" in item and item["label"] is not None:
             sample["label"] = np.int32(item["label"])

@@ -432,7 +432,9 @@ def run_nlvr2(cfg: TaskConfig):
     model = VisualBertForTask(cfg.model, head_type="nlvr")
     trainer = _trainer(cfg, model)
 
-    # identifiers travel outside the model batch: recover by eval order
+    # identifiers are recovered through the example_index field shipped
+    # INSIDE each batch (no coupling to eval iteration order; tail-padding
+    # duplicates collapse in the dict)
     eval_ids = [a["identifier"] for a in eval_ann]
     labels = {a["identifier"]: int(a["label"]) for a in eval_ann if "label" in a}
 
@@ -440,13 +442,11 @@ def run_nlvr2(cfg: TaskConfig):
         from visualbert_tpu.utils.nlvr2_eval import accuracy, consistency, write_csv_report
 
         preds = {}
-        i = 0
         for batch, out in collected:
             p = np.asarray(out["logits"]).argmax(-1)
+            idx = np.asarray(batch["example_index"])
             for j in range(len(p)):
-                if i < len(eval_ids):
-                    preds[eval_ids[i]] = int(p[j])
-                i += 1
+                preds[eval_ids[int(idx[j])]] = int(p[j])
         write_csv_report(os.path.join(folder, "nlvr2_report.csv"), sorted(preds.items()))
         if labels:
             return {
