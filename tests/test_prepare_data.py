@@ -86,3 +86,58 @@ def test_prepare_vcr(tmp_path):
     # QA→R: question extended with the correct answer
     assert qar["question"][-2:] == ["because", [1]]
     assert qar["label"] == 2
+
+
+def test_prepare_conceptual_captions(tmp_path):
+    from visualbert_tpu.tools.prepare_data import prepare_conceptual_captions
+
+    src = tmp_path / "cc.tsv"
+    src.write_text(
+        "a dog on a beach\thttp://x/0.jpg\n"
+        "a red car\thttp://x/1.jpg\n"
+        "\n"
+        "caption with\ttab-free url\thttp://x/2.jpg\n"
+    )
+    out = tmp_path / "cc.json"
+    n = prepare_conceptual_captions(str(src), str(out), image_id_prefix="cc_train_")
+    assert n == 3
+    data = json.loads(out.read_text())
+    assert data[0] == {"image_id": "cc_train_0", "sentence": "a dog on a beach"}
+    # only the FIRST tab splits caption from url (reference split("\t", 1))
+    assert data[2]["sentence"] == "caption with"
+    assert data[2]["image_id"] == "cc_train_3"  # line index, blank line skipped
+
+
+def test_prepare_gqa_both_styles(tmp_path):
+    from visualbert_tpu.tools.prepare_data import prepare_gqa
+
+    src = tmp_path / "gqa.json"
+    src.write_text(json.dumps({
+        "q2": {"imageId": "n100", "question": "what color?", "answer": "red"},
+        "q1": {"imageId": "n101", "question": "is it day?"},
+    }))
+    out = tmp_path / "gqa_vqa.json"
+    assert prepare_gqa(str(src), str(out)) == 2
+    data = json.loads(out.read_text())
+    # sorted by question id; unanswered rows carry no label (test split)
+    assert data[0] == {"question_id": "q1", "image_id": "n101", "sent": "is it day?"}
+    assert data[1]["label"] == {"red": 1.0}
+
+    out2 = tmp_path / "gqa_pre.json"
+    assert prepare_gqa(str(src), str(out2), style="pretrain") == 2
+    pre = json.loads(out2.read_text())
+    assert pre[1] == {"image_id": "n100", "sentence": "what color?", "ans": "red"}
+
+
+def test_prepare_open_images_and_image_only_source(tmp_path):
+    from visualbert_tpu.tools.prepare_data import prepare_open_images
+
+    d = tmp_path / "manifests"
+    d.mkdir()
+    (d / "b.txt").write_text("img3\nimg4\n")
+    (d / "a.txt").write_text("img1\n\nimg2\n")
+    out = tmp_path / "oi.json"
+    assert prepare_open_images(str(d), str(out)) == 4
+    data = json.loads(out.read_text())
+    assert [x["image_id"] for x in data] == ["img1", "img2", "img3", "img4"]
+    assert all("sentence" not in x for x in data)  # image-only records

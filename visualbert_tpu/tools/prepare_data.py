@@ -207,3 +207,103 @@ def prepare_vcr(
     with open(out_path, "w") as f:
         json.dump(out, f)
     return len(out)
+
+
+def prepare_conceptual_captions(
+    tsv_path: str, out_path: str, image_id_prefix: str = ""
+) -> int:
+    """Conceptual Captions release TSV (``caption\\turl`` per line) → this
+    framework's unsupervised-pretraining annotations
+    ``[{"image_id", "sentence"}]``.
+
+    Reference: ``unsupervised_visualbert/src/tools/
+    create_cc_data_lxmert_style.py:1`` — the image id is the line index
+    (the downloader saves ``<i>.jpg`` in release order and the BUTD
+    extractor keys features by that name); ``image_id_prefix`` prepends a
+    split/dir tag the same way the reference embeds its target dir.
+    """
+    out = []
+    with open(tsv_path) as f:
+        for i, line in enumerate(f):
+            if not line.strip():
+                continue
+            caption = line.rstrip("\n").split("\t", 1)[0]
+            out.append({"image_id": f"{image_id_prefix}{i}", "sentence": caption})
+    with open(out_path, "w") as f:
+        json.dump(out, f)
+    return len(out)
+
+
+def prepare_gqa(
+    questions_json: str, out_path: str, style: str = "vqa"
+) -> int:
+    """GQA ``*_balanced_questions.json`` (dict question_id → datum) → task
+    annotations.
+
+    ``style="vqa"``: the unsup_vqa fine-tune contract
+    ``[{"question_id", "image_id", "sent", "label": {answer: 1.0}}]``
+    (reference ``unsupervised_visualbert/data/gqa/process_raw_data_scripts/
+    process_data.py:1``, which emits the same lxmert-style records).
+    ``style="pretrain"``: QA-co-training pretrain records
+    ``[{"image_id", "sentence", "ans"}]`` consumed by ``unsup_pretrain``
+    (answers relabeled through the AnswerTable there).
+    """
+    assert style in ("vqa", "pretrain"), style
+    with open(questions_json) as f:
+        data = json.load(f)
+    out = []
+    for key in sorted(data):
+        datum = data[key]
+        if style == "vqa":
+            item = {
+                "question_id": key,
+                "image_id": str(datum["imageId"]),
+                "sent": datum["question"],
+            }
+            if "answer" in datum:
+                item["label"] = {datum["answer"]: 1.0}
+        else:
+            item = {
+                "image_id": str(datum["imageId"]),
+                "sentence": datum["question"],
+            }
+            if "answer" in datum:
+                item["ans"] = datum["answer"]
+        out.append(item)
+    with open(out_path, "w") as f:
+        json.dump(out, f)
+    return len(out)
+
+
+def prepare_open_images(listing_paths, out_path: str) -> int:
+    """Open Images id listings (txt files, one image id per line — the
+    BUTD extraction manifests) → image-only pretraining annotations
+    ``[{"image_id"}]`` (no sentence → the ``unsup_pretrain`` image-only
+    hybrid source).
+
+    Reference: ``unsupervised_visualbert/src/tools/
+    create_open_image_data_lxmert_style.py:1`` (walks the feature dir's txt
+    manifests and emits empty-sentence records; here the no-sentence form
+    routes to the image-only batcher directly). ``listing_paths`` may be a
+    directory (every ``*.txt`` inside, sorted) or a list of files.
+    """
+    if isinstance(listing_paths, str) and os.path.isdir(listing_paths):
+        files = sorted(
+            os.path.join(listing_paths, n)
+            for n in os.listdir(listing_paths)
+            if n.endswith(".txt")
+        )
+    elif isinstance(listing_paths, str):
+        files = [listing_paths]
+    else:
+        files = list(listing_paths)
+    out = []
+    for path in files:
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    out.append({"image_id": line})
+    with open(out_path, "w") as f:
+        json.dump(out, f)
+    return len(out)
