@@ -118,6 +118,7 @@ def test_vqa_advanced_mode(rng):
     assert "label" not in s
 
 
+@pytest.mark.slow
 def test_multi_step_fn(rng):
     from visualbert_tpu.config import OptimizerConfig, TrainConfig, VisualBertConfig
     from visualbert_tpu.models.visualbert import VisualBertForTask
@@ -150,6 +151,7 @@ def test_multi_step_fn(rng):
     assert int(jax.device_get(state.step)) == K
 
 
+@pytest.mark.slow
 def test_probing_with_real_model(rng):
     """Export attention maps from the model and run the grounding probe."""
     import jax
@@ -286,6 +288,7 @@ def test_fill_collate_matches_sequential():
             np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]), err_msg=k)
 
 
+@pytest.mark.slow
 def test_time_scan_steps_harness():
     """bench.time_scan_steps: the shared hardware-bench harness runs a fused
     K-step scan and returns a positive rate + an advanced state."""

@@ -4,12 +4,14 @@ full encoder alone, then ONE additional joint layer over [text ; visual]."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from visualbert_tpu.config import VisualBertConfig
 from visualbert_tpu.models.encoder import VisualBertModel
 from visualbert_tpu.train.trainer import unbox
 
 
+@pytest.mark.slow
 def test_bypass_path_runs_and_differs(rng):
     cfg = VisualBertConfig.tiny(visual_embedding_dim=8, bypass_transformer=True)
     model = VisualBertModel(cfg)

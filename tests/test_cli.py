@@ -2,6 +2,8 @@
 
 import json
 
+import pytest
+
 import numpy as np
 
 from visualbert_tpu.utils.config_io import (
@@ -37,6 +39,7 @@ def test_unknown_key_rejected():
         parse_task_config({"task": "vqa", "bogus_key": 1})
 
 
+@pytest.mark.slow
 def test_cli_synthetic_vqa(tmp_path, capsys):
     from visualbert_tpu.train_cli import main
 
@@ -84,6 +87,7 @@ def test_cli_eval_only_nlvr(tmp_path):
     assert "consistency" in result.history[0]
 
 
+@pytest.mark.slow
 def test_cli_restore_orbax_eval_only(tmp_path):
     """Train → checkpoint → fresh eval_only run restoring the checkpoint
     reproduces the trained accuracy (exercises registry._restore orbax)."""
@@ -109,6 +113,7 @@ def test_cli_restore_orbax_eval_only(tmp_path):
     assert result2.best_metric > 0.25, result2.history
 
 
+@pytest.mark.slow
 def test_cli_restore_torch_checkpoint(tmp_path):
     """registry._restore torch branch: a .th file (reference layout) loads
     through load_torch_file → convert → merge and changes the params."""

@@ -49,6 +49,7 @@ def test_fast_dropout_gradient_is_masked_identity():
     np.testing.assert_allclose(np.asarray(g) * 2.0, np.asarray(y), rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_encoder_fast_dropout_trains():
     from visualbert_tpu.config import VisualBertConfig
     from visualbert_tpu.models.visualbert import VisualBertForTask

@@ -63,7 +63,9 @@ def make_inputs(rng, B=2, Tt=10, Tv=7, A=3, with_alignment=False):
     return input_ids, token_type_ids, attn, visual, vmask, vtypes, align
 
 
-@pytest.mark.parametrize("with_alignment", [False, True])
+@pytest.mark.parametrize(
+    "with_alignment", [pytest.param(False, marks=pytest.mark.slow), True]
+)
 def test_forward_parity(rng, with_alignment):
     hf, model, cfg, loaded = build_pair()
     input_ids, tt, attn, visual, vmask, vtypes, align = make_inputs(

@@ -21,6 +21,7 @@ SMALL = dict(
 )
 
 
+@pytest.mark.slow
 def test_export_roundtrip_through_hf(rng):
     cfg = VisualBertConfig(
         **SMALL, hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
@@ -65,6 +66,7 @@ def test_export_roundtrip_through_hf(rng):
     )
 
 
+@pytest.mark.slow
 def test_nan_guard_skips_bad_batch(rng):
     from visualbert_tpu.models.visualbert import VisualBertForTask
     from visualbert_tpu.parallel.mesh import create_mesh

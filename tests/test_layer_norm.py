@@ -1,6 +1,8 @@
 """Fused residual+LayerNorm kernel vs XLA reference (fwd + grads, interpret
 mode on CPU)."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -54,6 +56,7 @@ def test_gradients_match_reference(rng):
         )
 
 
+@pytest.mark.slow
 def test_model_parity_with_fused_ln(rng):
     """Full tiny model: fused-LN config matches default config numerics."""
     from visualbert_tpu.config import VisualBertConfig

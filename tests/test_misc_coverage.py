@@ -155,3 +155,28 @@ def test_gelu_erf_fast_accuracy():
     )
     ulp = np.abs(b) * 2.0**-8
     assert (np.abs(a - b) <= np.maximum(2 * ulp, 2e-6)).all()
+
+
+def test_gelu_erf_fast_gradient_accuracy():
+    """The analytic custom-JVP (gelu'(x) = Phi(x) + x*phi(x), reusing the
+    A&S exp term) must match the autodiff gradient of the exact-erf GELU to
+    fp32-chain tolerance — it is what the FFN backward recompute fuses."""
+    import jax
+    import jax.numpy as jnp
+
+    from visualbert_tpu.models.encoder import _gelu_erf_fast
+
+    x = jnp.asarray(
+        np.concatenate([np.linspace(-12, 12, 20001), np.linspace(-2, 2, 20001)]),
+        jnp.float32,
+    )
+    g_fast = np.asarray(jax.vmap(jax.grad(_gelu_erf_fast))(x), np.float64)
+    g_exact = np.asarray(
+        jax.vmap(jax.grad(lambda v: jax.nn.gelu(v, approximate=False)))(x), np.float64
+    )
+    assert np.abs(g_fast - g_exact).max() < 4e-6
+
+    # VJP path too (flax uses vjp): cotangent scaling flows through
+    val, vjp = jax.vjp(_gelu_erf_fast, x)
+    (gv,) = vjp(jnp.full_like(x, 2.0))
+    np.testing.assert_allclose(np.asarray(gv), 2.0 * g_fast, rtol=1e-6, atol=1e-6)

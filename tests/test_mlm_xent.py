@@ -88,6 +88,7 @@ def test_op_grads():
         np.testing.assert_allclose(np.asarray(a), np.asarray(r), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_model_fused_equals_unfused():
     """Pretraining model loss/accuracy identical (fp32 tolerance) with
     fused_mlm_xent on and off, same params."""
@@ -157,6 +158,7 @@ def test_model_fused_equals_unfused():
         )
 
 
+@pytest.mark.slow
 def test_fused_xent_shard_map_on_mesh():
     """fused_mlm_xent on a >1-device mesh dispatches through shard_map
     (rows over data×model) and still trains."""

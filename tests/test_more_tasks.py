@@ -7,6 +7,7 @@ from visualbert_tpu.tasks import registry
 from visualbert_tpu.utils.config_io import parse_task_config
 
 
+@pytest.mark.slow
 def test_unsup_vqa_task(tmp_path):
     cfg = parse_task_config({
         "task": "unsup_vqa",
@@ -50,6 +51,7 @@ def test_file_cache_local(tmp_path):
         cached_path("ftp://nope/x")
 
 
+@pytest.mark.slow
 def test_coco_pretrain_task_smoke(tmp_path):
     cfg = parse_task_config({
         "task": "coco_pretrain",
@@ -88,6 +90,7 @@ def test_text_pretrain_task(tmp_path):
     assert np.isfinite(result.history[-1]["train_loss"])
 
 
+@pytest.mark.slow
 def test_unsup_pretrain_hybrid_task(tmp_path):
     """unsup_pretrain through the registry with a packed text corpus mixed in
     (hybrid single-source batches, two compiled shapes)."""
@@ -131,6 +134,7 @@ def test_unsup_pretrain_hybrid_task(tmp_path):
     assert "train_obj_loss" in keys  # V&L batches contributed
 
 
+@pytest.mark.slow
 def test_vqa_advanced_task(tmp_path):
     """Answer-as-MLM task (reference modeling.py:1527-1554): learns above
     chance on the synthetic set and dumps decoded answers."""
@@ -160,6 +164,7 @@ def test_vqa_advanced_task(tmp_path):
     assert preds and {"question_id", "answer"} <= set(preds[0])
 
 
+@pytest.mark.slow
 def test_vcr_coco_pretrain_task(tmp_path):
     """COCO r2c detector-path pretraining stage (reference
     coco_dataset.py:235-340): raw images + masks through SimpleDetector into
@@ -243,6 +248,7 @@ def test_detector_window_box_uses_content_extent(tmp_path):
     np.testing.assert_allclose(window, [0.0, 0.0, 63.0, 31.0])
 
 
+@pytest.mark.slow
 def test_unsup_pretrain_qa_cotraining(tmp_path):
     """VERDICT r2 item 6: task_qa with an AnswerTable wired through the
     registry — string answers relabeled to ids, qa_loss trained, and

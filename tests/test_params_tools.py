@@ -24,6 +24,7 @@ def _init(cfg):
     return model, params, ids, vis
 
 
+@pytest.mark.slow
 def test_unstack_stack_roundtrip_and_equivalence():
     model_s, p_s, ids, vis = _init(CFG)
     model_u = VisualBertModel(CFG.replace(scan_layers=False))

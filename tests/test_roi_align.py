@@ -1,6 +1,8 @@
 """RoIAlign correctness vs a scalar numpy reference (torchvision
 aligned=False semantics, fixed sampling_ratio), plus detector smoke test."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -72,6 +74,7 @@ def test_roi_align_differentiable(rng):
     assert np.abs(np.asarray(g)).sum() > 0
 
 
+@pytest.mark.slow
 def test_detector_forward(rng):
     from visualbert_tpu.models.detector import SimpleDetector
 
@@ -98,8 +101,6 @@ def test_detector_forward(rng):
 # ---- adaptive sampling_ratio=0 vs a torch transcription of the torchvision
 # CPU kernel (cpu/roi_align_kernel.cpp semantics: per-bin grid =
 # ceil(roi_size/pooled_size), average of bilinear taps, aligned=False) -----
-
-import pytest
 
 torch = pytest.importorskip("torch")
 

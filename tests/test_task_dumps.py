@@ -3,6 +3,7 @@
 import os
 
 import numpy as np
+import pytest
 
 from visualbert_tpu.tasks import registry
 from visualbert_tpu.utils.config_io import parse_task_config
@@ -15,6 +16,7 @@ TINY_MODEL = {
 }
 
 
+@pytest.mark.slow
 def test_flickr_eval_dump(tmp_path):
     cfg = parse_task_config({
         "task": "flickr",
@@ -35,6 +37,7 @@ def test_flickr_eval_dump(tmp_path):
     assert m["recall_at_10"] >= m["recall_at_5"]
 
 
+@pytest.mark.slow
 def test_vcr_eval_dump(tmp_path):
     cfg = parse_task_config({
         "task": "vcr",
@@ -53,6 +56,7 @@ def test_vcr_eval_dump(tmp_path):
     assert np.isfinite(logits).all()
 
 
+@pytest.mark.slow
 def test_nlvr2_dump_order_independent(tmp_path, monkeypatch):
     """VERDICT r2 item 7: identifiers ride inside batches (example_index),
     so the NLVR2 report is correct even when eval batches arrive in a

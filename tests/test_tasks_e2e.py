@@ -59,6 +59,7 @@ def run_fit(trainer, dataset, batch_size=16, epochs=4, eval_dataset=None):
     return state, result
 
 
+@pytest.mark.slow
 def test_vqa_end_to_end(tok):
     """lr 1e-3 + warmup: constant 2e-3 is unstable under BertAdam's
     no-bias-correction early steps and made this test flaky."""
@@ -79,6 +80,7 @@ def test_vqa_end_to_end(tok):
     assert result.best_metric > 0.5, result.history  # chance = 1/8
 
 
+@pytest.mark.slow
 def test_nlvr_end_to_end(tok):
     ann, feats = nlvr_ds.make_synthetic(128, tok, feat_dim=FEAT_DIM)
     ds = nlvr_ds.NLVR2Dataset(ann, feats, tok, max_seq_length=16, max_regions_per_image=6)
@@ -87,6 +89,7 @@ def test_nlvr_end_to_end(tok):
     assert result.best_metric > 0.8, result.history  # chance = 0.5, signal is strong
 
 
+@pytest.mark.slow
 def test_coco_pretrain_end_to_end(tok):
     """BertAdam has no bias correction (early updates ≈ 3× nominal lr), so —
     like every reference config — it needs warmup + a moderate lr."""
@@ -121,6 +124,7 @@ def test_coco_pretrain_end_to_end(tok):
     assert np.mean(accs[-8:]) > 0.25, np.mean(accs[-8:])
 
 
+@pytest.mark.slow
 def test_flickr_end_to_end(tok):
     ann, feats = flickr_ds.make_synthetic(128, tok, feat_dim=FEAT_DIM)
     ds = flickr_ds.Flickr30kDataset(
@@ -137,6 +141,7 @@ def test_flickr_end_to_end(tok):
     assert result.history[-1]["val_accuracy"] <= ub + 1e-6
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(tok, tmp_path):
     from visualbert_tpu.utils.checkpoint import CheckpointManager
 
@@ -160,6 +165,7 @@ def test_checkpoint_roundtrip(tok, tmp_path):
     assert int(jax.device_get(restored_best.step)) == 1
 
 
+@pytest.mark.slow
 def test_resume_training_continuity(tok, tmp_path):
     """Checkpoint → restore → continue: the restored run's next loss matches
     continuing the original run (state fully captured incl. optimizer)."""
@@ -194,6 +200,7 @@ def test_resume_training_continuity(tok, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_warm_start_params_only_reset_schedule(tok, tmp_path):
     """VERDICT r2 item 5: params-only restore from a mid-pretrain checkpoint
     into a model with a DIFFERENT head (fresh opt state), plus

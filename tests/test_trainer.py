@@ -57,6 +57,7 @@ def test_loss_decreases_dp_mesh(rng):
     assert losses[-1] < losses[0] * 0.7, losses
 
 
+@pytest.mark.slow
 def test_tp_dp_mesh_matches_dp(rng):
     """Same data, same init seed → TP×DP mesh must produce the same losses
     as the pure-DP mesh (the program is identical math)."""
@@ -76,6 +77,7 @@ def test_tp_dp_mesh_matches_dp(rng):
     np.testing.assert_allclose(results[0], results[1], rtol=2e-4)
 
 
+@pytest.mark.slow
 def test_grad_accumulation_equivalence(rng, monkeypatch):
     """accum=2 over two microbatches == accum=1 over the concatenated batch
     (dropout off — the two paths draw different dropout masks)."""
@@ -122,6 +124,7 @@ def test_eval_step(rng):
     assert np.isfinite(float(out["loss"]))
 
 
+@pytest.mark.slow
 def test_fit_loop_grad_accumulation(rng):
     """gradient_accumulation_steps wired end-to-end through the fit loop:
     global batches reshape into [accum, micro, ...] with axis-1 sharding."""
@@ -152,6 +155,7 @@ def test_fit_loop_grad_accumulation(rng):
     assert int(jax.device_get(state.step)) == 6
 
 
+@pytest.mark.slow
 def test_large_config_tp_dryrun(rng):
     """VisualBERT-large geometry compiles and steps on a DP2xTP4 mesh."""
     from visualbert_tpu.config import VisualBertConfig
@@ -182,6 +186,7 @@ def test_large_config_tp_dryrun(rng):
     assert np.isfinite(float(m["loss"]))
 
 
+@pytest.mark.slow
 def test_tp_dp_mesh_with_pallas_kernels_matches_plain(rng):
     """VERDICT item: exercise the Pallas kernels UNDER SHARDING. With
     use_flash_attention (shard_map dispatch over the DP×TP mesh) + fused LN,
@@ -236,6 +241,7 @@ def synth_pretrain_batch(rng, batch=B, n_pos=4):
     }
 
 
+@pytest.mark.slow
 def test_all_four_kernels_dp_tp_equality(rng):
     """VERDICT r2 item 2: flash attention + fused LN + fused MLM-xent +
     fast_dropout all enabled (dropout rates 0 so runs are comparable);
@@ -272,6 +278,7 @@ def test_all_four_kernels_dp_tp_equality(rng):
     np.testing.assert_allclose(results[1], results[2], rtol=2e-4)   # DP ≡ DP×TP
 
 
+@pytest.mark.slow
 def test_pallas_kernels_sharded_with_dropout_trains(rng):
     """Dropout ON under the DP×TP mesh: the kernels' shard-decorrelated
     PRNG path (flash attention + sharded fast_dropout masks) must produce

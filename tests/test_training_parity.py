@@ -105,6 +105,7 @@ def torch_losses(hf, batches, n_steps):
     return losses
 
 
+@pytest.mark.slow
 def test_three_step_trajectory_matches_torch(rng):
     n_steps = 3
     batches = make_batches(rng, n_steps)

@@ -4,6 +4,7 @@ masked-feature/tag objectives, gradients reach the conv trunk."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from visualbert_tpu.config import VisualBertConfig
 from visualbert_tpu.models.unsup_e2e import UnsupervisedEndToEnd
@@ -35,6 +36,7 @@ def make_batch(rng, B=2, N=3, T=6, img=32, vocab=128):
     }
 
 
+@pytest.mark.slow
 def test_unsup_e2e_forward_and_grads(rng):
     bert = VisualBertConfig.tiny(
         vocab_size=128, visual_embedding_dim=2048,

@@ -32,7 +32,10 @@ from visualbert_tpu.train.trainer import unbox
 HERE = os.path.dirname(__file__)
 
 
-@pytest.fixture(scope="module", params=["symbolic", "bert_tags"])
+@pytest.fixture(
+    scope="module",
+    params=[pytest.param("symbolic", marks=pytest.mark.slow), "bert_tags"],
+)
 def ref_dump(request, tmp_path_factory):
     mode = request.param
     out = tmp_path_factory.mktemp("lxrt") / f"{mode}.npz"

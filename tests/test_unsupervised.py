@@ -106,6 +106,7 @@ def test_hybrid_batcher_single_source_batches(tok, sym):
     assert len(kinds) == hybrid.num_batches()
 
 
+@pytest.mark.slow
 def test_pretrain_end_to_end(tok, sym):
     ann, feats = up.make_synthetic(96, tok, sym, feat_dim=FEAT_DIM)
     ds = up.UnsupervisedPretrainDataset(ann, feats, tok, sym,
@@ -138,6 +139,7 @@ def test_pretrain_end_to_end(tok, sym):
         assert k in m, sorted(m)
 
 
+@pytest.mark.slow
 def test_vqa_finetune_model(tok, sym):
     model = UnsupervisedVQAModel(make_ucfg(sym))
     rng = np.random.default_rng(0)
@@ -175,6 +177,7 @@ def test_answer_table_surgery():
     assert (out["kernel"][:, 1] == 0).all()                      # bird fresh
 
 
+@pytest.mark.slow
 def test_image_only_batch(tok, sym):
     """Image-only hybrid batches (no text stream) — reference
     lxmert_pretrain.py:86-173 image_only_splits."""
@@ -204,6 +207,7 @@ def test_image_only_batch(tok, sym):
     assert "obj_loss" in out and "masked_tag_loss" in out
 
 
+@pytest.mark.slow
 def test_text_only_batch(tok, sym):
     """Text-only hybrid batches (no visual streams) — reference
     text_only_splits with GeneralCorpusNP."""
@@ -284,6 +288,7 @@ def test_text_matched_objective(tok):
     assert 0 in labels and 1 in labels
 
 
+@pytest.mark.slow
 def test_fused_mlm_xent_matches_unfused_unsup(tok, sym):
     """The streaming softmax-xent path of the unsupervised model must match
     the materialized-logits loss to fp32 tolerance."""

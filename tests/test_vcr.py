@@ -54,6 +54,7 @@ def test_vcr_dataset_shapes(tok):
     assert (a >= 0).any()
 
 
+@pytest.mark.slow
 def test_vcr_end_to_end_train(tok):
     cfg = VisualBertConfig.tiny(
         visual_embedding_dim=64,
@@ -85,6 +86,7 @@ def test_vcr_end_to_end_train(tok):
     assert float(m["cnn_regularization_loss"]) > 0
 
 
+@pytest.mark.slow
 def test_vcr_pretrain_dataset(tok):
     from visualbert_tpu.models.vcr import VisualBertDetectorModel
 
