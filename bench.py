@@ -188,15 +188,15 @@ def main():
     best = 0.0
     err = None
     # primary: unrolled layers (no scan residual-stacking copies) + fused
-    # attention kernel + fused MLM-xent kernel + tanh-approx gelu (error
-    # below the bf16 noise floor of the erf default; erf stays the model
-    # default for checkpoint parity); fallbacks: erf gelu, smaller batch,
-    # scanned layers
+    # attention kernel + fused MLM-xent kernel + the reference's erf gelu
+    # (modeling.py:56-61) via the fast-erf custom-JVP path — i.e. PARITY
+    # numerics, not the tanh approximation; fallbacks: tanh gelu, smaller
+    # batch, scanned layers
     for bs, act, scan, fx, fd in (
-        (96, "gelu_tanh", False, True, True),
-        (96, "gelu_tanh", False, True, False),
-        (96, "gelu_tanh", False, False, False),
+        (96, "gelu", False, True, True),
+        (96, "gelu", False, True, False),
         (96, "gelu", False, False, False),
+        (96, "gelu_tanh", False, True, True),
         (64, "gelu", False, False, False),
         (64, "gelu", True, False, False),
     ):

@@ -48,6 +48,7 @@ def truncated_normal_init(stddev: float):
     return nn.initializers.truncated_normal(stddev=stddev, lower=-2.0, upper=2.0)
 
 
+@jax.custom_jvp
 def _gelu_erf_fast(x):
     """erf-GELU with erf from the Abramowitz–Stegun 7.1.26 rational-exp
     approximation: |erf error| ≤ 1.5e-7 absolute (GELU error ≤ 2.2e-7 exact,
@@ -55,16 +56,38 @@ def _gelu_erf_fast(x):
     magnitude > 5e-4, so
     under bf16 compute this is numerically indistinguishable from the exact
     erf the reference uses (modeling.py:56-61) while costing ~1 exp2 + 8
-    fma on the VPU instead of XLA's branchy erf expansion."""
+    fma on the VPU instead of XLA's branchy erf expansion.
+
+    The custom derivative rule below matters as much as the forward: with
+    ``ffn_recompute_act`` the FFN backward recomputes gelu'(x) inside the
+    db1/dpreact fusion, and autodiffing the forward chain costs ~2x the ops
+    of the analytic gelu'(x) = Phi(x) + x*phi(x) — the phi term reuses the
+    SAME exp(-x²/2) the A&S erf already computes (measured: the FFN
+    backward fusion was 1.30 ms/layer via autodiff vs 0.57 for tanh)."""
+    return _gelu_erf_fast_both(x)[0]
+
+
+def _gelu_erf_fast_both(x):
     xf = x.astype(jnp.float32)
     z = jnp.abs(xf) * 0.7071067811865476          # |x| / sqrt(2)
     t = 1.0 / (1.0 + 0.3275911 * z)
     p = t * (0.254829592 + t * (-0.284496736 + t * (
         1.421413741 + t * (-1.453152027 + t * 1.061405429))))
-    # exp(-z²) in base-2 form — exp2 is the VPU's hardware primitive
-    erf_abs = 1.0 - p * jnp.exp2(z * z * -1.4426950408889634)
-    e = jnp.sign(xf) * erf_abs
-    return (0.5 * xf * (1.0 + e)).astype(x.dtype)
+    # exp(-z²) = exp(-x²/2), base-2 form — exp2 is the VPU's hw primitive
+    E = jnp.exp2(z * z * -1.4426950408889634)
+    erf = jnp.sign(xf) * (1.0 - p * E)
+    Phi = 0.5 * (1.0 + erf)                       # Φ(x), normal CDF
+    val = (xf * Phi).astype(x.dtype)
+    # gelu'(x) = Φ(x) + x·φ(x);  φ(x) = exp(-x²/2)/√(2π), E reused
+    grad = Phi + xf * E * 0.3989422804014327
+    return val, grad
+
+
+@_gelu_erf_fast.defjvp
+def _gelu_erf_fast_jvp(primals, tangents):
+    (x,), (dx,) = primals, tangents
+    val, grad = _gelu_erf_fast_both(x)
+    return val, (grad * dx.astype(jnp.float32)).astype(x.dtype)
 
 
 def activation(name: str, dtype=None):
