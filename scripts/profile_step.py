@@ -52,7 +52,10 @@ def main():
 
         return jax.lax.scan(body, state, jnp.arange(K))
 
-    multi = jax.jit(multi, donate_argnums=(0,))
+    # same per-executable XLA options as the bench (32 MB scoped VMEM — the
+    # attention bwd kernel needs >16 MB at full-H head grouping)
+    multi = jax.jit(multi, donate_argnums=(0,),
+                    compiler_options=trainer.compiler_options())
     sharded = trainer.shard_batch(batch)
     key = jax.random.key(1, impl="rbg")
     state, losses = multi(state, sharded, key)

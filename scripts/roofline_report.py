@@ -21,8 +21,10 @@ from visualbert_tpu.utils.profiling import xplane_op_summary
 # these robust to batch/seq changes. Order matters: specific before general.
 BUCKETS = [
     ("weight-grad matmuls (+fused per-tensor grad sumsq)", r"^%fusion \(f32\[\]"),
+    ("attention bwd kernel (dQKV + db partials)", r"^%attention \(bf16\[\d+,\d+,2304\]"),
     ("attention bwd kernel (dQKV)", r"^%attention b?f?16?\["),
     ("attention fwd kernel (O + stats)", r"^%attention \("),
+    ("QKV projection (fwd matmul, bias deferred)", r"^%fusion \(?bf16\[\d+,\d+,2304\]"),
     ("dX matmuls + dropout+LN-recompute composites", r"^%fusion \(f32\[\d+,\d+\]"),
     ("FFN bwd: db1 + dpreact (gelu' recompute)", r"^%fusion \(bf16\[\d{4}\]"),
     ("FFN fwd: W1 matmul + gelu epilogue", r"^%fusion \(?bf16\[\d+,\d+,(3072|\d{4})\]"),

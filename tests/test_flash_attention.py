@@ -131,3 +131,47 @@ def test_packed_encoder_layer_equivalence(rng):
     np.testing.assert_allclose(
         np.asarray(out_packed), np.asarray(out_plain), atol=2e-5, rtol=1e-4
     )
+
+
+def test_packed_deferred_bias_matches_eager(rng):
+    """qkv_bias deferred into the kernel ≡ eager bias-add, values and grads
+    (incl. the kernel-emitted d_bias vs autodiff of the eager add)."""
+    qkv, bias = make_packed(rng, T=31)
+    qb = jnp.asarray(rng.randn(qkv.shape[-1]), qkv.dtype) * 0.1
+
+    def f_deferred(x, b):
+        return (flash_attention_packed(x, 4, bias, qkv_bias=b) ** 2).sum()
+
+    def f_eager(x, b):
+        return (flash_attention_packed(x + b, 4, bias) ** 2).sum()
+
+    o1 = flash_attention_packed(qkv, 4, bias, qkv_bias=qb)
+    o2 = flash_attention_packed(qkv + qb, 4, bias)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=2e-5, rtol=1e-4)
+
+    g1 = jax.grad(f_deferred, argnums=(0, 1))(qkv, qb)
+    g2 = jax.grad(f_eager, argnums=(0, 1))(qkv, qb)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4)
+
+
+def test_packed_deferred_bias_sharded(rng):
+    """Deferred qkv_bias under the DP×TP shard_map dispatch: values and the
+    d_bias cotangent (which crosses the data axis via the broadcast_to
+    transpose) must match the single-device path."""
+    from visualbert_tpu.parallel.mesh import create_mesh
+
+    mesh = create_mesh((4, 2))
+    qkv, bias = make_packed(rng, B=8, T=24, H=4, D=16)
+    qb = jnp.asarray(rng.randn(qkv.shape[-1]), qkv.dtype) * 0.1
+
+    def loss(b, m):
+        return (flash_attention_packed(qkv, 4, bias, qkv_bias=b, mesh=m) ** 2).sum()
+
+    o_sh = flash_attention_packed(qkv, 4, bias, qkv_bias=qb, mesh=mesh)
+    o_1d = flash_attention_packed(qkv, 4, bias, qkv_bias=qb)
+    np.testing.assert_allclose(np.asarray(o_sh), np.asarray(o_1d), atol=2e-5, rtol=1e-4)
+
+    db_sh = jax.grad(loss)(qb, mesh)
+    db_1d = jax.grad(loss)(qb, None)
+    np.testing.assert_allclose(np.asarray(db_sh), np.asarray(db_1d), atol=1e-4, rtol=1e-4)

@@ -137,9 +137,10 @@ class FusedQKV(nn.Module):
     config: VisualBertConfig
     heads_major: bool = False
     packed: bool = False
+    defer_bias: bool = False  # packed only: return (out_no_bias, bias[F])
 
     @nn.compact
-    def __call__(self, hidden: Array) -> Array:
+    def __call__(self, hidden: Array):
         cfg = self.config
         kernel = self.param(
             "kernel",
@@ -165,7 +166,10 @@ class FusedQKV(nn.Module):
             # head-major packing [h, (q,k,v), d] — a TP split of the feature
             # axis hands each shard complete heads
             out = hidden @ kernel.transpose(0, 2, 1, 3).reshape(cfg.hidden_size, F)
-            return out + bias.transpose(1, 0, 2).reshape(F)
+            packed_bias = bias.transpose(1, 0, 2).reshape(F)
+            if self.defer_bias:
+                return out, packed_bias
+            return out + packed_bias
         if self.heads_major:
             out = jnp.einsum("bte,eshd->bshtd", hidden, kernel)
             return out + bias[None, :, :, None, :]
@@ -232,8 +236,11 @@ class SelfAttention(nn.Module):
 
         qkv = FusedQKV(
             cfg, heads_major=use_kernel and not use_packed, packed=use_packed,
-            name="qkv",
+            defer_bias=use_packed, name="qkv",
         )(hidden)
+        qkv_bias = None
+        if use_packed:
+            qkv, qkv_bias = qkv  # bias deferred into the kernel (d_bias fused)
         if use_kernel:
             rate = 0.0 if deterministic else cfg.attention_probs_dropout_prob
             seed = None
@@ -248,7 +255,7 @@ class SelfAttention(nn.Module):
                 ctx = flash_attention_packed(
                     qkv, cfg.num_attention_heads, bias=attn_bias,
                     dropout_rate=rate, seed=seed, mesh=cfg.mesh,
-                    save_probs=cfg.flash_save_probs,
+                    save_probs=cfg.flash_save_probs, qkv_bias=qkv_bias,
                 )  # [B, T, H·D]
             else:
                 from visualbert_tpu.ops.flash_attention import flash_attention

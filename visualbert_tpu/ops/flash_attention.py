@@ -246,8 +246,9 @@ _flash.defvjp(_flash_fwd, _flash_bwd)
 # ---------------------------------------------------------------------------
 
 
-def _packed_fwd_kernel(seed_ref, qkv_ref, bias_ref, o_ref, stats_ref=None,
-                       *, scale, rate, n_heads, d, interpret=False):
+def _packed_fwd_kernel(seed_ref, qkv_ref, bias_ref, qb_ref, o_ref,
+                       stats_ref=None, *, scale, rate, n_heads, d,
+                       interpret=False):
     # MXU stages (QKᵀ, PV) loop over heads — the per-head [T, D] tiles are
     # static lane slices of the packed VMEM block. VPU stages (softmax,
     # dropout) run ONCE over the STACKED [H, T, T] scores: batching the heads
@@ -261,7 +262,11 @@ def _packed_fwd_kernel(seed_ref, qkv_ref, bias_ref, o_ref, stats_ref=None,
     # one fma + exp2 + mul — no cross-lane max/sum reductions.
     b = pl.program_id(0)
     bias2 = bias_ref[b] * LOG2E  # [T]
-    x = qkv_ref[0]  # [T, H·3·D]
+    # deferred QKV projection bias: adding it here (instead of in the
+    # producing matmul's epilogue) lets the backward kernel emit d_bias
+    # directly, erasing XLA's standalone [F] reduce that re-reads the whole
+    # dQKV tensor from HBM (ref bias semantics: modeling.py:207-217)
+    x = qkv_ref[0] + qb_ref[...][None, :]  # [T, H·3·D]
     T = x.shape[0]
     c1 = scale * LOG2E
     s_all = []
@@ -300,7 +305,8 @@ def _packed_fwd_kernel(seed_ref, qkv_ref, bias_ref, o_ref, stats_ref=None,
 
 
 def _packed_bwd_kernel(
-    seed_ref, qkv_ref, bias_ref, do_ref, o_ref, stats_ref, dqkv_ref,
+    seed_ref, qkv_ref, bias_ref, qb_ref, do_ref, o_ref, stats_ref,
+    dqkv_ref, db_ref,
     *, scale, rate, n_heads, d, interpret=False
 ):
     # Same head-batched VPU structure as the forward (see _packed_fwd_kernel).
@@ -316,7 +322,7 @@ def _packed_bwd_kernel(
     # the 32 MB scoped-VMEM budget; see the constant's comment).
     b = pl.program_id(0)
     bias2 = bias_ref[b] * LOG2E
-    x = qkv_ref[0]
+    x = qkv_ref[0] + qb_ref[...][None, :]  # deferred QKV bias (see fwd)
     do_all = do_ref[0]  # [T, H·D]
     o_all = o_ref[0]    # [T, H·D]
     T = x.shape[0]
@@ -386,6 +392,12 @@ def _packed_bwd_kernel(
             )
             dqkv_ref[0, :, (3 * h + 0) * d:(3 * h + 1) * d] = (dq * scale).astype(dqkv_ref.dtype)
             dqkv_ref[0, :, (3 * h + 1) * d:(3 * h + 2) * d] = (dk * scale).astype(dqkv_ref.dtype)
+
+    # per-batch partial of the QKV-bias gradient: Σ_t dqkv[t, :]. The dqkv
+    # block is still resident in VMEM, so this costs one VPU pass — the
+    # alternative (XLA reducing the [B, T, F] dqkv after the fact) re-reads
+    # ~100 MB/layer from HBM. Final Σ_b happens outside on [B, F].
+    db_ref[0, 0] = jnp.sum(dqkv_ref[0].astype(jnp.float32), axis=0)
 
 
 # --- save-probs variant: the forward additionally writes the pre-dropout
@@ -561,15 +573,16 @@ def _flash_packed_sp_bwd(rate, n_heads, d, residuals, do):
 _flash_packed_sp.defvjp(_flash_packed_sp_fwd, _flash_packed_sp_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def _flash_packed(qkv, key_bias, rate, n_heads, d, seed):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash_packed(qkv, qb, key_bias, rate, n_heads, d, seed):
     # primal (not being differentiated): skip the softmax-stats output —
     # it exists only for the backward's p regeneration
-    return _flash_packed_fwd_impl(qkv, key_bias, rate, n_heads, d, seed,
+    return _flash_packed_fwd_impl(qkv, qb, key_bias, rate, n_heads, d, seed,
                                   with_stats=False)[0]
 
 
-def _flash_packed_fwd_impl(qkv, key_bias, rate, n_heads, d, seed, with_stats=True):
+def _flash_packed_fwd_impl(qkv, qb, key_bias, rate, n_heads, d, seed,
+                           with_stats=True):
     B, T, F = qkv.shape
     in_spec = pl.BlockSpec((1, T, F), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((1, T, F // 3), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM)
@@ -585,7 +598,7 @@ def _flash_packed_fwd_impl(qkv, key_bias, rate, n_heads, d, seed, with_stats=Tru
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=(B,),
-                in_specs=[in_spec, bias_spec],
+                in_specs=[in_spec, bias_spec, bias_spec],
                 out_specs=out_spec,
             ),
             out_shape=jax.ShapeDtypeStruct((B, T, F // 3), qkv.dtype),
@@ -593,7 +606,7 @@ def _flash_packed_fwd_impl(qkv, key_bias, rate, n_heads, d, seed, with_stats=Tru
             compiler_params=None if _interpret() else pltpu.CompilerParams(
                 dimension_semantics=("parallel",)
             ),
-        )(seed, qkv, key_bias)
+        )(seed, qkv, key_bias, qb)
         return out, None
     return pl.pallas_call(
         functools.partial(
@@ -603,7 +616,7 @@ def _flash_packed_fwd_impl(qkv, key_bias, rate, n_heads, d, seed, with_stats=Tru
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(B,),
-            in_specs=[in_spec, bias_spec],
+            in_specs=[in_spec, bias_spec, bias_spec],
             out_specs=[out_spec, stats_spec],
         ),
         out_shape=[
@@ -614,23 +627,27 @@ def _flash_packed_fwd_impl(qkv, key_bias, rate, n_heads, d, seed, with_stats=Tru
         compiler_params=None if _interpret() else pltpu.CompilerParams(
             dimension_semantics=("parallel",)
         ),
-    )(seed, qkv, key_bias)
+    )(seed, qkv, key_bias, qb)
 
 
-def _flash_packed_fwd(qkv, key_bias, rate, n_heads, d, seed):
-    out, stats = _flash_packed_fwd_impl(qkv, key_bias, rate, n_heads, d, seed)
-    return out, (qkv, key_bias, seed, out, stats)
+def _flash_packed_fwd(qkv, qb, key_bias, rate, n_heads, d, seed):
+    out, stats = _flash_packed_fwd_impl(qkv, qb, key_bias, rate, n_heads, d, seed)
+    return out, (qkv, qb, key_bias, seed, out, stats)
 
 
 def _flash_packed_bwd(rate, n_heads, d, residuals, do):
-    qkv, key_bias, seed, out, stats = residuals
+    qkv, qb, key_bias, seed, out, stats = residuals
     B, T, F = qkv.shape
     in_spec = pl.BlockSpec((1, T, F), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM)
     do_spec = pl.BlockSpec((1, T, F // 3), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM)
     stats_spec = pl.BlockSpec((1, n_heads, T), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM)
     bias_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    # [B, 1, F] with a (1, 1, F) block: the trailing two block dims equal the
+    # array dims, which the TPU lowering requires (a flat (1, F) block of a
+    # (B, F) array does not satisfy the 8×128 divisibility rule)
+    db_spec = pl.BlockSpec((1, 1, F), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM)
     scale = 1.0 / (d ** 0.5)
-    dqkv = pl.pallas_call(
+    dqkv, db_part = pl.pallas_call(
         functools.partial(
             _packed_bwd_kernel, scale=scale, rate=rate, n_heads=n_heads, d=d,
             interpret=_interpret(),
@@ -638,17 +655,23 @@ def _flash_packed_bwd(rate, n_heads, d, residuals, do):
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(B,),
-            in_specs=[in_spec, bias_spec, do_spec, do_spec, stats_spec],
-            out_specs=in_spec,
+            in_specs=[in_spec, bias_spec, bias_spec, do_spec, do_spec, stats_spec],
+            out_specs=[in_spec, db_spec],
         ),
-        out_shape=jax.ShapeDtypeStruct((B, T, F), qkv.dtype),
+        out_shape=[
+            jax.ShapeDtypeStruct((B, T, F), qkv.dtype),
+            jax.ShapeDtypeStruct((B, 1, F), jnp.float32),
+        ],
         interpret=_interpret(),
         compiler_params=None if _interpret() else pltpu.CompilerParams(
             dimension_semantics=("parallel",)
         ),
-    )(seed, qkv, key_bias, do, out, stats)
+    )(seed, qkv, key_bias, qb, do, out, stats)
+    # Σ_b of the per-batch partials; one bf16 round at the end matches the
+    # precision class of the XLA reduce this replaces.
+    db = jnp.sum(db_part, axis=(0, 1)).astype(qb.dtype)
     dseed = np.zeros(seed.shape, dtype=jax.dtypes.float0)
-    return dqkv, jnp.zeros_like(key_bias), dseed
+    return dqkv, db, jnp.zeros_like(key_bias), dseed
 
 
 _flash_packed.defvjp(_flash_packed_fwd, _flash_packed_bwd)
@@ -662,6 +685,7 @@ def flash_attention_packed(
     seed: Optional[jax.Array] = None,
     mesh=None,
     save_probs: bool = False,
+    qkv_bias: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Fused attention over a packed QKV projection.
 
@@ -669,6 +693,11 @@ def flash_attention_packed(
     (each block D wide) — the natural reshape of a fused [E, H·3·D]
     projection with the (H, 3, D) output axes in that order.
     bias: [B, 1, 1, T] or [B, T] additive key mask (0 valid / -10000 pad).
+    qkv_bias: optional [H·3·D] projection bias in the same head-major
+    packing, DEFERRED into the kernel: the forward adds it in VMEM and the
+    backward emits its gradient directly, so XLA never re-reads the [B,T,F]
+    dQKV tensor for the bias reduce. When given, ``qkv`` must be the
+    bias-FREE projection output.
     mesh: a (data, model) ``jax.sharding.Mesh``. Required whenever the
     enclosing jit runs on >1 device: pallas_call has no GSPMD partitioning
     rule, so the kernel is dispatched through ``jax.shard_map`` — batch on
@@ -686,7 +715,15 @@ def flash_attention_packed(
         seed = jnp.zeros((), jnp.int32)
     seed = jnp.asarray(seed, jnp.int32).reshape((1,))
     rate = float(dropout_rate)
-    call = _flash_packed_sp if save_probs else _flash_packed
+    if save_probs:
+        # the save-probs variant has no deferred-bias kernel — fall back to
+        # an eager add (autodiff then produces the bias grad the XLA way)
+        if qkv_bias is not None:
+            qkv = qkv + qkv_bias
+        call = _flash_packed_sp
+    else:
+        qb = qkv_bias if qkv_bias is not None else jnp.zeros((F,), qkv.dtype)
+        call = functools.partial(_flash_packed_qb, qb=qb)
 
     if mesh is not None and mesh.size > 1:
         from jax.sharding import PartitionSpec as P
@@ -695,22 +732,49 @@ def flash_attention_packed(
         assert n_heads % tp == 0, (n_heads, tp)
         local_heads = n_heads // tp
 
-        def body(qkv_l, bias_l, seed_l):
+        if save_probs:
+            def body(qkv_l, bias_l, seed_l):
+                di = jax.lax.axis_index("data").astype(jnp.int32)
+                mi = jax.lax.axis_index("model").astype(jnp.int32)
+                # stride past every (b, h) seed used within a shard
+                seed_l = seed_l + di * jnp.int32(1_000_003) + mi * jnp.int32(10_000_019)
+                return call(qkv_l, bias_l, rate, local_heads, d, seed_l)
+
+            return jax.shard_map(
+                body,
+                mesh=mesh,
+                in_specs=(P("data", None, "model"), P("data", None), P()),
+                out_specs=P("data", None, "model"),
+                check_vma=False,
+            )(qkv, key_bias, seed)
+
+        # qb rides in tiled over the data axis: its cotangent is then a
+        # data-sharded [n_data, F] whose Σ over rows is the transpose of the
+        # broadcast_to below — XLA inserts the cross-shard reduce itself, so
+        # correctness does not hinge on shard_map's replication handling of
+        # unmentioned axes (check_vma=False).
+        qb_t = jnp.broadcast_to(qb, (mesh.shape.get("data", 1), F))
+
+        def body_qb(qkv_l, qb_l, bias_l, seed_l):
             di = jax.lax.axis_index("data").astype(jnp.int32)
             mi = jax.lax.axis_index("model").astype(jnp.int32)
-            # stride past every (b, h) seed used within a shard
             seed_l = seed_l + di * jnp.int32(1_000_003) + mi * jnp.int32(10_000_019)
-            return call(qkv_l, bias_l, rate, local_heads, d, seed_l)
+            return _flash_packed(qkv_l, qb_l[0], bias_l, rate, local_heads, d, seed_l)
 
         return jax.shard_map(
-            body,
+            body_qb,
             mesh=mesh,
-            in_specs=(P("data", None, "model"), P("data", None), P()),
+            in_specs=(P("data", None, "model"), P("data", "model"),
+                      P("data", None), P()),
             out_specs=P("data", None, "model"),
             check_vma=False,
-        )(qkv, key_bias, seed)
+        )(qkv, qb_t, key_bias, seed)
 
     return call(qkv, key_bias, rate, n_heads, d, seed)
+
+
+def _flash_packed_qb(qkv, key_bias, rate, n_heads, d, seed, *, qb):
+    return _flash_packed(qkv, qb, key_bias, rate, n_heads, d, seed)
 
 
 def flash_attention(
