@@ -16,7 +16,7 @@ from bench import synth_batch  # noqa: E402
 LOGDIR = sys.argv[1] if len(sys.argv) > 1 else "/tmp/jb_trace"
 BATCH = int(os.environ.get("PROF_BATCH", 96))
 K = 10
-ACT = os.environ.get("PROF_ACT", "gelu_tanh")
+ACT = os.environ.get("PROF_ACT", "gelu")  # bench headline = parity erf gelu
 
 
 def main():

@@ -8,6 +8,11 @@ HLO-signature pattern; whatever matches nothing is listed explicitly under
 "other (itemized)" so the table always sums to the trace's total device
 time. Run after ``scripts/profile_step.py <logdir>`` (which captures K=10
 steps of the bench configuration).
+
+The bucket patterns hard-code the bert-base bench geometry (H=768, F=3072,
+QKV=2304): that is the program BASELINE.md itemizes. Profiling another
+geometry still sums correctly — unmatched groups land in "other
+(itemized)" — but the named buckets need their shapes extended.
 """
 
 import re
@@ -22,7 +27,7 @@ from visualbert_tpu.utils.profiling import xplane_op_summary
 BUCKETS = [
     ("weight-grad matmuls (+fused per-tensor grad sumsq)", r"^%fusion \(f32\[\]"),
     ("attention bwd kernel (dQKV + db partials)", r"^%attention \(bf16\[\d+,\d+,2304\]"),
-    ("attention bwd kernel (dQKV)", r"^%attention b?f?16?\["),
+    ("attention bwd kernel (dQKV)", r"^%attention (bf16|f32)\["),
     ("attention fwd kernel (O + stats)", r"^%attention \("),
     ("QKV projection (fwd matmul, bias deferred)", r"^%fusion \(?bf16\[\d+,\d+,2304\]"),
     ("dX matmuls + dropout+LN-recompute composites", r"^%fusion \(f32\[\d+,\d+\]"),

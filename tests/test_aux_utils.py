@@ -152,6 +152,46 @@ def test_multi_step_fn(rng):
 
 
 @pytest.mark.slow
+def test_flickr_unreachable_targets_keep_slot_and_cap_upperbound():
+    """Entities whose gold boxes fall outside the kept regions keep their
+    entity slot with reduced/zero label mass (reference
+    flickr_dataset.py:240-251 + compute_score_with_logits_flickr
+    upper_bound_labels, modeling.py:1652) so upperbound_accuracy < 1
+    reflects the achievable-accuracy cap instead of being vacuously 1."""
+    import numpy as np
+
+    from visualbert_tpu.data.datasets import flickr as flickr_ds
+    from visualbert_tpu.data.features import ChunkFeatures
+    from visualbert_tpu.data.tokenization import BertTokenizer
+
+    vocab = {w: i for i, w in enumerate(
+        ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]", "a", "b", "c", "d"])}
+    tok = BertTokenizer(vocab)
+    ann = [{
+        "image_id": "0",
+        "words": ["a", "b", "c", "d"],
+        "entities": [
+            {"word_index": 0, "region_targets": [1, 2]},      # fully kept
+            {"word_index": 1, "region_targets": [3, 9]},      # 9 beyond cap
+            {"word_index": 2, "region_targets": [10, 11]},    # all beyond cap
+        ],
+    }]
+    feats = ChunkFeatures({"0": {"features": np.zeros((12, 8), np.float32)}})
+    ds = flickr_ds.Flickr30kDataset(ann, feats, tok, max_seq_length=10,
+                                    max_regions=8, max_entities=4)
+    item = ds[0]
+    pos, label = item["flickr_position"], item["label"]
+    # all three entities keep their slots
+    assert (pos[:3] != -1).all() and pos[3] == -1
+    # mass normalized over ALL matched regions: 1, 0.5 (one of two kept), 0
+    np.testing.assert_allclose(label[0].sum(), 1.0, atol=1e-6)
+    np.testing.assert_allclose(label[1].sum(), 0.5, atol=1e-6)
+    np.testing.assert_allclose(label[2].sum(), 0.0, atol=1e-6)
+    # the head's upperbound_accuracy = mean row mass over valid slots
+    ub = label[:3].sum(-1).mean()
+    assert 0.49 < ub < 0.51
+
+
 def test_probing_with_real_model(rng):
     """Export attention maps from the model and run the grounding probe."""
     import jax

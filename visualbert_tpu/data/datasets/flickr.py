@@ -86,11 +86,17 @@ class Flickr30kDataset:
             w = ent["word_index"]
             if w >= len(first_idx) or first_idx[w] < 0:
                 continue
-            targets = [t for t in ent["region_targets"] if t < self.max_regions]
-            if not targets:
-                continue
+            # Entities whose gold boxes match no kept region KEEP their slot
+            # with an all-zero label row (reference flickr_dataset.py:240-251:
+            # "sometimes that label is empty for certain entities") — they are
+            # guaranteed misses, and upperbound_accuracy = mean row mass
+            # reflects the achievable-accuracy cap. Mass is normalized over
+            # ALL matched regions so targets beyond max_regions reduce it.
+            all_targets = ent["region_targets"]
+            kept = [t for t in all_targets if t < self.max_regions]
             positions[n_e] = first_idx[w] + 1  # +1 for [CLS]
-            label[n_e, targets] = 1.0 / len(targets)
+            if all_targets:
+                label[n_e, kept] = 1.0 / len(all_targets)
             n_e += 1
 
         return {

@@ -86,13 +86,10 @@ class PreTrainingHeads(nn.Module):
         # >1-device meshes dispatch the xent pallas_call via shard_map (rows
         # over data×model); fall back to the unfused einsum only when the
         # rows don't divide over the mesh
+        from visualbert_tpu.ops.mlm_xent import supports_mesh
+
         B, P, H = transformed.shape
-        mesh_ok = (
-            cfg.mesh is None
-            or cfg.mesh.size == 1
-            or (B * P) % cfg.mesh.size == 0
-        )
-        if cfg.fused_mlm_xent and labels is not None and mesh_ok:
+        if cfg.fused_mlm_xent and labels is not None and supports_mesh(B * P, cfg.mesh):
             from visualbert_tpu.ops.mlm_xent import mlm_xent
 
             nll, am = mlm_xent(

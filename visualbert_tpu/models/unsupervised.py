@@ -307,14 +307,12 @@ class UnsupervisedVisualBert(nn.Module):
             # fused streaming softmax-xent over the 30522 decoder (no
             # [B·T, vocab] fp32 logits in HBM); >1-device meshes dispatch
             # through shard_map (rows over data×model) when the rows divide
+            from visualbert_tpu.ops.mlm_xent import supports_mesh
+
             B, T, H = lang_out.shape
-            mesh_ok = (
-                cfg.mesh is None or cfg.mesh.size == 1
-                or (B * T) % cfg.mesh.size == 0
-            )
             use_fused = (
                 cfg.fused_mlm_xent and ucfg.task_mask_lm and labels is not None
-                and mesh_ok
+                and supports_mesh(B * T, cfg.mesh)
             )
             if use_fused:
                 from visualbert_tpu.ops.mlm_xent import mlm_xent

@@ -309,6 +309,13 @@ def _mlm_nll_bwd(res, cts):
 _mlm_nll.defvjp(_mlm_nll_fwd, _mlm_nll_bwd)
 
 
+def supports_mesh(n_rows: int, mesh) -> bool:
+    """Whether ``mlm_xent`` can dispatch over ``mesh``: the row count must
+    split evenly across all devices (rows shard over data×model). Callers
+    use this single predicate to decide the unfused-einsum fallback."""
+    return mesh is None or mesh.size == 1 or n_rows % mesh.size == 0
+
+
 def mlm_xent(x, embedding, bias, labels, mesh=None):
     """Per-row NLL + argmax of the tied-decoder softmax, fused.
 
@@ -330,7 +337,7 @@ def mlm_xent(x, embedding, bias, labels, mesh=None):
         from jax.sharding import PartitionSpec as P
 
         N = x.shape[0]
-        assert N % mesh.size == 0, (N, mesh.size)
+        assert supports_mesh(N, mesh), (N, mesh.size)
         axes = ("data", "model")
         return jax.shard_map(
             functools.partial(mlm_xent, mesh=None),

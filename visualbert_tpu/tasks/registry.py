@@ -614,6 +614,15 @@ def run_unsup_pretrain(cfg: TaskConfig):
             if isinstance(a, str):
                 mapped = answer_table.ans_to_id(a)
                 item["ans"] = -1 if mapped is None else int(mapped)
+    elif ucfg.task_qa and any(isinstance(it.get("ans"), str) for it in ann):
+        # Without a table every string answer coerces to ignore_index=-1 and
+        # QA co-training silently becomes a no-op — fail loudly instead.
+        raise ValueError(
+            "task_qa is enabled and the annotations carry string answers, but "
+            "no data.answer_table is configured — every answer would map to "
+            "-1 (ignored). Set data.answer_table to the answer-table json "
+            "(reference: qa_answer_table.py)."
+        )
 
     ds_kwargs = dict(
         max_seq_length=int(d.get("max_seq_length", 30)),
