@@ -151,7 +151,6 @@ def test_multi_step_fn(rng):
     assert int(jax.device_get(state.step)) == K
 
 
-@pytest.mark.slow
 def test_flickr_unreachable_targets_keep_slot_and_cap_upperbound():
     """Entities whose gold boxes fall outside the kept regions keep their
     entity slot with reduced/zero label mass (reference
@@ -192,6 +191,7 @@ def test_flickr_unreachable_targets_keep_slot_and_cap_upperbound():
     assert 0.49 < ub < 0.51
 
 
+@pytest.mark.slow
 def test_probing_with_real_model(rng):
     """Export attention maps from the model and run the grounding probe."""
     import jax

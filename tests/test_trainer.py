@@ -333,3 +333,45 @@ def test_reshard_state_restores_tp_layout(rng):
     b = jax.tree_util.tree_leaves(jax.device_get(state.params))
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_steps_per_dispatch_matches_per_step(rng):
+    """fit() with steps_per_dispatch=3 (multi_step_fn dispatch, incl. a
+    short epoch tail) reproduces per-step dispatch: same rng chain (inner
+    fold by state.step), same trajectory up to last-ulp rounding (the
+    scanned and standalone step programs fuse slightly differently).
+    Dropout is ON so the rng-chain claim is actually exercised — any rng
+    divergence would produce wildly different params, not 1e-6-relative."""
+    from visualbert_tpu.train.loop import fit
+
+    cfg = VisualBertConfig.tiny(visual_embedding_dim=16)
+    assert cfg.hidden_dropout_prob > 0
+    batches = [synth_batch(rng) for _ in range(7)]  # 7 = 2 full K=3 + tail 1
+
+    def run(k):
+        model = VisualBertForTask(cfg, head_type="vqa", num_answers=N_ANSWERS)
+        trainer = Trainer(
+            model=model,
+            opt_config=OptimizerConfig(learning_rate=1e-3, schedule=None, t_total=-1),
+            train_config=TrainConfig(num_train_epochs=1, log_every=0,
+                                     steps_per_dispatch=k),
+            mesh=create_mesh((8, 1)),
+        )
+        state = trainer.init_state(jax.random.PRNGKey(0), batches[0])
+        state, result = fit(trainer, state, lambda epoch: iter(batches),
+                            rng_seed=7)
+        return state, result
+
+    s1, r1 = run(1)
+    s3, r3 = run(3)
+    assert int(jax.device_get(s3.step)) == 7
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6),
+        s1.params, s3.params,
+    )
+    for key_ in r1.history[0]:
+        np.testing.assert_allclose(
+            r1.history[0][key_], r3.history[0][key_], rtol=1e-4,
+            err_msg=key_,
+        )

@@ -207,6 +207,11 @@ class TrainConfig:
     # Deterministic at any worker count (per-sample index-derived RNG); the
     # TPU analogue of the reference DataLoader's num_workers.
     num_workers: int = 8
+    # Fuse K train steps into one device dispatch (lax.scan over K stacked
+    # batches, body unrolled 3x): amortizes host->device round trips AND
+    # lets XLA overlap step i's optimizer write-back with step i+1's
+    # prefetches (+2.4% on v5e, BASELINE.md). 1 = per-step dispatch.
+    steps_per_dispatch: int = 1
     # Mesh geometry: (data, model) axis sizes; model=1 → pure DP.
     mesh_shape: Tuple[int, int] = (1, 1)
     # skip the update when the loss is non-finite (in-graph failure guard;

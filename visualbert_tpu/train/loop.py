@@ -103,34 +103,80 @@ def fit(
 def _fit_epochs(trainer, state, train_data, eval_data, cfg, ckpt, key,
                 val_metric, val_metric_higher_is_better, eval_hook,
                 eval_fn, step_fn, history, best, best_epoch):
+    K = max(1, cfg.steps_per_dispatch)
+    multi_fn = trainer.multi_step_fn(K, unroll=min(3, K)) if K > 1 else None
+
     for epoch in range(cfg.num_train_epochs):
         acc = MetricAccumulator()
         t0 = time.time()
         n_batches = 0
-        for batch in train_data(epoch):
-            bs = len(next(iter(batch.values())))
-            accum = cfg.gradient_accumulation_steps
-            if accum > 1:
-                # split the global batch into [accum, micro, ...] for the
-                # in-step lax.scan accumulation (train/trainer.py)
-                batch = {
-                    k: v.reshape((accum, bs // accum) + v.shape[1:])
-                    for k, v in batch.items()
-                }
-            state, metrics = step_fn(
-                state, trainer.shard_batch(batch, stacked=accum > 1), key
-            )
-            acc.update(metrics, bs)
-            n_batches += 1
-            if cfg.log_every and n_batches % cfg.log_every == 0:
+        accum = cfg.gradient_accumulation_steps
+        pending = []  # buffered host batches awaiting a K-step dispatch
+
+        def reshape_accum(batch, bs):
+            if accum <= 1:
+                return batch
+            # split the global batch into [accum, micro, ...] for the
+            # in-step lax.scan accumulation (train/trainer.py)
+            return {
+                k: v.reshape((accum, bs // accum) + v.shape[1:])
+                for k, v in batch.items()
+            }
+
+        def after_steps(metrics, n_new, weight):
+            nonlocal n_batches
+            prev = n_batches
+            n_batches += n_new
+            acc.update(metrics, weight)
+            if cfg.log_every and prev // cfg.log_every != n_batches // cfg.log_every:
                 m = acc.means()
                 log.info(
                     "epoch %d step %d loss=%.4f (%.2f s/batch)",
                     epoch, n_batches, m.get("loss", float("nan")),
                     (time.time() - t0) / n_batches,
                 )
-            if ckpt and cfg.save_every and n_batches % cfg.save_every == 0:
+            if (ckpt and cfg.save_every
+                    and prev // cfg.save_every != n_batches // cfg.save_every):
                 ckpt.save(int(jax.device_get(state.step)), state)
+
+        def dispatch_pending():
+            nonlocal state, pending
+            group, pending = pending, []
+            bs = len(next(iter(group[0].values())))
+            if len(group) == K:
+                stacked = {
+                    k: np.stack([reshape_accum(b, bs)[k] for b in group])
+                    for k in group[0]
+                }
+                lead = 1 + (1 if accum > 1 else 0)
+                state, metrics = multi_fn(
+                    state, trainer.shard_batch(stacked, lead_axes=lead), key
+                )
+                # metrics arrive stacked [K]; fold to means for the rollup
+                metrics = {k: v.mean(0) for k, v in metrics.items()}
+                after_steps(metrics, len(group), bs * len(group))
+            else:  # epoch tail shorter than K: fall back to per-step dispatch
+                for b in group:
+                    b = reshape_accum(b, bs)
+                    state, metrics = step_fn(
+                        state, trainer.shard_batch(b, stacked=accum > 1), key
+                    )
+                    after_steps(metrics, 1, bs)
+
+        for batch in train_data(epoch):
+            if multi_fn is None:
+                bs = len(next(iter(batch.values())))
+                batch = reshape_accum(batch, bs)
+                state, metrics = step_fn(
+                    state, trainer.shard_batch(batch, stacked=accum > 1), key
+                )
+                after_steps(metrics, 1, bs)
+            else:
+                pending.append(batch)
+                if len(pending) == K:
+                    dispatch_pending()
+        if pending:
+            dispatch_pending()
 
         epoch_metrics = {"train_" + k: v for k, v in acc.means().items()}
 
