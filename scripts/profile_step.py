@@ -15,8 +15,9 @@ from bench import synth_batch  # noqa: E402
 
 LOGDIR = sys.argv[1] if len(sys.argv) > 1 else "/tmp/jb_trace"
 BATCH = int(os.environ.get("PROF_BATCH", 96))
-K = 10
+K = int(os.environ.get("PROF_K", 12))
 ACT = os.environ.get("PROF_ACT", "gelu")  # bench headline = parity erf gelu
+UNROLL = int(os.environ.get("PROF_UNROLL", 3))  # bench scan unroll
 
 
 def main():
@@ -50,7 +51,7 @@ def main():
             st, m = step_inner(st, batch, jax.random.fold_in(key, i))
             return st, m["loss"]
 
-        return jax.lax.scan(body, state, jnp.arange(K))
+        return jax.lax.scan(body, state, jnp.arange(K), unroll=UNROLL)
 
     # same per-executable XLA options as the bench (32 MB scoped VMEM — the
     # attention bwd kernel needs >16 MB at full-H head grouping)
