@@ -287,3 +287,29 @@ def test_unsup_pretrain_qa_cotraining(tmp_path):
     # learnable mapping (first object's channel signature → answer id):
     # accuracy must beat 1/4 chance by the last epoch
     assert hist["train_qa_accuracy"] > 0.3, result.history
+
+
+def test_unsup_pretrain_qa_without_table_errors(tmp_path):
+    """task_qa + string answers without data.answer_table must error loudly:
+    silent coercion to ignore_index trained QA as a no-op."""
+    from visualbert_tpu.tasks import registry
+    from visualbert_tpu.utils.config_io import parse_task_config
+
+    cfg = parse_task_config({
+        "task": "unsup_pretrain",
+        "folder": str(tmp_path / "run"),
+        "data": {
+            "synthetic": 16, "synthetic_answers": 4, "max_seq_length": 12,
+            "n_regions": 6, "task_qa": True,  # no answer_table
+        },
+        "model": {
+            "vocab_size": 512, "hidden_size": 32, "num_hidden_layers": 1,
+            "num_attention_heads": 2, "intermediate_size": 64,
+            "max_position_embeddings": 32, "visual_embedding_dim": 16,
+            "dtype": "float32",
+        },
+        "optimizer": {"learning_rate": 1e-3, "schedule": "none", "t_total": -1},
+        "train": {"train_batch_size": 8, "num_train_epochs": 1, "log_every": 0},
+    })
+    with pytest.raises(ValueError, match="answer_table"):
+        registry.run(cfg)
