@@ -17,7 +17,7 @@ from visualbert_tpu.models.unsupervised import UnsupervisedConfig, UnsupervisedV
 from visualbert_tpu.parallel.mesh import create_mesh
 from visualbert_tpu.train.trainer import Trainer
 
-B, K = 144, 8
+B, K = 144, 30
 VOCAB = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"] + [f"w{i}" for i in range(30517)]
 tok = BertTokenizer({w: i for i, w in enumerate(VOCAB)})
 sym = SymbolicVocab([f"o{i}" for i in range(1600)], [f"a{i}" for i in range(400)])
@@ -27,7 +27,7 @@ ds = up.UnsupervisedPretrainDataset(ann, feats, tok, sym, max_seq_length=30,
 batch = next(iter(Batcher(ds, B, seed=0).epoch(0)))
 
 bert = VisualBertConfig.base(
-    use_flash_attention=True, scan_layers=False, hidden_act="gelu_tanh",
+    use_flash_attention=True, scan_layers=False, hidden_act="gelu",  # reference erf gelu (lxrt/modeling.py:118) via the fast-erf path
     fused_mlm_xent=True, fast_dropout=True,
 )
 ucfg = UnsupervisedConfig(bert=bert, visual_feat_dim=2048,
@@ -43,7 +43,7 @@ state = trainer.init_state(jax.random.PRNGKey(0), batch)
 import time as _t
 t0 = _t.perf_counter()
 from bench import time_scan_steps
-best, state = time_scan_steps(trainer, state, batch, K=K)
+best, state = time_scan_steps(trainer, state, batch, K=K, unroll=3)
 print(f"unsup pretrain: {best:.0f} examples/s/chip "
       f"(B={B}, T=30+tags+36 regions, bert-base, all losses; "
       f"first call incl. compile {_t.perf_counter()-t0:.0f}s)")

@@ -37,7 +37,7 @@ state = trainer.init_state(jax.random.PRNGKey(0), batch)
 import time as _t
 t0 = _t.perf_counter()
 from bench import time_scan_steps
-best, state = time_scan_steps(trainer, state, batch, K=4)
+best, state = time_scan_steps(trainer, state, batch, K=4, unroll=2)
 print(f"VCR detector-path train: {best:.1f} examples/s/chip "
       f"(B={B}, img {IMG}^2, resnet50+bert-base x4 choices; "
       f"first call incl. compile {_t.perf_counter()-t0:.0f}s)")

@@ -83,7 +83,8 @@ def test_text_pretrain_task(tmp_path):
             "dtype": "float32",
         },
         "optimizer": {"learning_rate": 1e-3, "schedule": "none", "t_total": -1},
-        "train": {"train_batch_size": 8, "num_train_epochs": 2, "log_every": 0},
+        "train": {"train_batch_size": 8, "num_train_epochs": 2, "log_every": 0,
+                  "steps_per_dispatch": 2},
     })
     state, result = registry.run(cfg)
     assert result.epochs_run == 2
@@ -93,7 +94,9 @@ def test_text_pretrain_task(tmp_path):
 @pytest.mark.slow
 def test_unsup_pretrain_hybrid_task(tmp_path):
     """unsup_pretrain through the registry with a packed text corpus mixed in
-    (hybrid single-source batches, two compiled shapes)."""
+    (hybrid single-source batches, two compiled shapes). steps_per_dispatch=2
+    exercises the K-step dispatcher's structure-change flush: text-only and
+    V&L batches cannot stack, so groups flush at every source switch."""
     from visualbert_tpu.data.text_corpus import PackedCorpus
     from visualbert_tpu.data.tokenization import BertTokenizer
 
@@ -121,7 +124,8 @@ def test_unsup_pretrain_hybrid_task(tmp_path):
             "dtype": "float32",
         },
         "optimizer": {"learning_rate": 5e-4, "schedule": "none", "t_total": -1},
-        "train": {"train_batch_size": 8, "num_train_epochs": 2, "log_every": 0},
+        "train": {"train_batch_size": 8, "num_train_epochs": 2, "log_every": 0,
+                  "steps_per_dispatch": 2},
     })
     state, result = registry.run(cfg)
     assert result.epochs_run == 2

@@ -112,6 +112,7 @@ def _fit_epochs(trainer, state, train_data, eval_data, cfg, ckpt, key,
         n_batches = 0
         accum = cfg.gradient_accumulation_steps
         pending = []  # buffered host batches awaiting a K-step dispatch
+        pending_sig = None  # structure signature of the buffered batches
 
         def reshape_accum(batch, bs):
             if accum <= 1:
@@ -172,6 +173,15 @@ def _fit_epochs(trainer, state, train_data, eval_data, cfg, ckpt, key,
                 )
                 after_steps(metrics, 1, bs)
             else:
+                # hybrid sources interleave differently-shaped batches (e.g.
+                # text-only vs V&L) — only structurally identical batches can
+                # stack into one dispatch, so flush on a structure change
+                sig = tuple(sorted(
+                    (k, v.shape, str(getattr(v, "dtype", ""))) for k, v in batch.items()
+                ))
+                if pending and sig != pending_sig:
+                    dispatch_pending()
+                pending_sig = sig
                 pending.append(batch)
                 if len(pending) == K:
                     dispatch_pending()
