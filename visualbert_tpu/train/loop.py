@@ -147,7 +147,7 @@ def _fit_epochs(trainer, state, train_data, eval_data, cfg, ckpt, key,
             if len(group) == K:
                 stacked = {
                     k: np.stack([reshape_accum(b, bs)[k] for b in group])
-                    for k in group[0]
+                    for k in group[0] if group[0][k] is not None
                 }
                 lead = 1 + (1 if accum > 1 else 0)
                 state, metrics = multi_fn(
@@ -177,7 +177,8 @@ def _fit_epochs(trainer, state, train_data, eval_data, cfg, ckpt, key,
                 # text-only vs V&L) — only structurally identical batches can
                 # stack into one dispatch, so flush on a structure change
                 sig = tuple(sorted(
-                    (k, v.shape, str(getattr(v, "dtype", ""))) for k, v in batch.items()
+                    (k, getattr(v, "shape", None), str(getattr(v, "dtype", "")))
+                    for k, v in batch.items()
                 ))
                 if pending and sig != pending_sig:
                     dispatch_pending()
