@@ -63,7 +63,7 @@ def main():
         visual_embedding_dim=512, dtype=jnp.float32,
     )
 
-    def run(mesh_shape, batch_size=GLOBAL_BATCH):
+    def run(mesh_shape):
         mesh = create_mesh(mesh_shape, devices=jax.devices()[: mesh_shape[0] * mesh_shape[1]])
         cfg = VisualBertConfig.base(**cfg_kw)
         model = VisualBertForTask(cfg, head_type="pretraining")
@@ -77,8 +77,8 @@ def main():
         )
         # per-host slicing: single-process here, so the slice is the whole
         # batch — but the API path is the one a multi-host launch takes
-        start, size = local_batch_slice(batch_size)
-        assert (start, size) == (0, batch_size)
+        start, size = local_batch_slice(GLOBAL_BATCH)
+        assert (start, size) == (0, GLOBAL_BATCH)
         batch = synth_batch(size, tt=48, tv=24, dv=512)
         state = trainer.init_state(jax.random.PRNGKey(0), batch)
         step_inner = trainer.train_step_fn(nested=True)

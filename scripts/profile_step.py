@@ -66,6 +66,8 @@ def main():
     state, losses = multi(state, sharded, key)
     np.asarray(losses)
     jax.profiler.stop_trace()
+    with open(os.path.join(LOGDIR, "k_steps.txt"), "w") as f:
+        f.write(str(K))  # roofline_report.py reads this to divide per step
     print("trace captured", flush=True)
 
     report(LOGDIR)

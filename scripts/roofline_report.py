@@ -1,13 +1,15 @@
 """Digest an xplane trace of the bench train step into the semantic roofline
 buckets used in BASELINE.md — with NO unitemized remainder.
 
-Usage: python scripts/roofline_report.py <logdir> [K_steps=10]
+Usage: python scripts/roofline_report.py <logdir> [K_steps]
+(K defaults to the k_steps.txt that profile_step.py writes into the logdir,
+falling back to 10 for traces captured without it)
 
 Maps every device op group (``xplane_op_summary``) onto a named bucket by
 HLO-signature pattern; whatever matches nothing is listed explicitly under
 "other (itemized)" so the table always sums to the trace's total device
-time. Run after ``scripts/profile_step.py <logdir>`` (which captures K=10
-steps of the bench configuration).
+time. Run after ``scripts/profile_step.py <logdir>`` (which captures K
+steps of the bench configuration — it records its K in k_steps.txt).
 
 The bucket patterns hard-code the bert-base bench geometry (H=768, F=3072,
 QKV=2304): that is the program BASELINE.md itemizes. Profiling another
@@ -50,8 +52,17 @@ BUCKETS = [
 
 
 def main():
+    import os
+
     logdir = sys.argv[1]
-    k = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    if len(sys.argv) > 2:
+        k = int(sys.argv[2])
+    else:
+        try:
+            with open(os.path.join(logdir, "k_steps.txt")) as f:
+                k = int(f.read().strip())
+        except OSError:
+            k = 10
     rows = xplane_op_summary(logdir, top_n=100000)
     total = sum(ms for _, ms, _ in rows)
     bucket_ms = {b: 0.0 for b, _ in BUCKETS}

@@ -141,3 +141,37 @@ def test_prepare_open_images_and_image_only_source(tmp_path):
     data = json.loads(out.read_text())
     assert [x["image_id"] for x in data] == ["img1", "img2", "img3", "img4"]
     assert all("sentence" not in x for x in data)  # image-only records
+
+
+def test_prepare_flickr30k_entities_keeps_unreachable_gold(tmp_path):
+    """Chains WITH gold boxes but no IoU-matching proposal keep their entity
+    slot with empty region_targets (reference flickr_ban/dataset.py:309-311);
+    chains with NO gold box are skipped (dataset.py:299-302)."""
+    import json
+
+    from visualbert_tpu.tools.prepare_data import prepare_flickr30k_entities
+
+    sents = tmp_path / "sents"
+    anns = tmp_path / "anns"
+    sents.mkdir(); anns.mkdir()
+    # entity 1: gold box matches proposal 0; entity 2: gold box far away from
+    # every proposal (unreachable); entity 3: no gold box in the XML at all
+    (sents / "img1.txt").write_text(
+        "[/EN#1/people a man] sees [/EN#2/animals a dog] near [/EN#3/notvisual the air]\n"
+    )
+    (anns / "img1.xml").write_text("""<annotation>
+  <object><name>1</name><bndbox><xmin>0</xmin><ymin>0</ymin><xmax>10</xmax><ymax>10</ymax></bndbox></object>
+  <object><name>2</name><bndbox><xmin>500</xmin><ymin>500</ymin><xmax>510</xmax><ymax>510</ymax></bndbox></object>
+</annotation>""")
+    out = str(tmp_path / "out.json")
+    n = prepare_flickr30k_entities(
+        str(sents), str(anns), ["img1"], out,
+        box_source={"img1": [[0, 0, 10, 10], [100, 100, 120, 120]]},
+    )
+    assert n >= 1
+    with open(out) as f:
+        rows = json.load(f)
+    ents = rows[0]["entities"]
+    assert len(ents) == 2  # chain 3 (no gold box) skipped
+    assert ents[0]["region_targets"] == [0]   # matched proposal 0
+    assert ents[1]["region_targets"] == []    # gold exists, unreachable

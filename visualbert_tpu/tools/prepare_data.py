@@ -153,7 +153,13 @@ def prepare_flickr30k_entities(
                         i for i, p in enumerate(proposals)
                         if any(iou(p, g) >= iou_threshold for g in gold.get(chain, []))
                     ]
-                    if targets:
+                    # Chains WITH gold boxes are kept even when no proposal
+                    # reaches the IoU threshold — the zero-label slot is a
+                    # guaranteed miss that caps upperbound_accuracy, matching
+                    # the reference (flickr_ban/dataset.py:309-311 appends
+                    # empty get_match_index results; only chains absent from
+                    # target_bboxes are skipped, dataset.py:299-302).
+                    if gold.get(chain):
                         entities.append({"word_index": first_word, "region_targets": targets})
                     pos = m.end()
                 words.extend(line[pos:].split())

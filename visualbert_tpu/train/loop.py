@@ -114,13 +114,16 @@ def _fit_epochs(trainer, state, train_data, eval_data, cfg, ckpt, key,
         pending = []  # buffered host batches awaiting a K-step dispatch
         pending_sig = None  # structure signature of the buffered batches
 
+        def batch_size(batch):
+            return len(next(v for v in batch.values() if v is not None))
+
         def reshape_accum(batch, bs):
             if accum <= 1:
                 return batch
             # split the global batch into [accum, micro, ...] for the
             # in-step lax.scan accumulation (train/trainer.py)
             return {
-                k: v.reshape((accum, bs // accum) + v.shape[1:])
+                k: None if v is None else v.reshape((accum, bs // accum) + v.shape[1:])
                 for k, v in batch.items()
             }
 
@@ -143,11 +146,12 @@ def _fit_epochs(trainer, state, train_data, eval_data, cfg, ckpt, key,
         def dispatch_pending():
             nonlocal state, pending
             group, pending = pending, []
-            bs = len(next(iter(group[0].values())))
+            bs = batch_size(group[0])
             if len(group) == K:
+                reshaped = [reshape_accum(b, bs) for b in group]
                 stacked = {
-                    k: np.stack([reshape_accum(b, bs)[k] for b in group])
-                    for k in group[0] if group[0][k] is not None
+                    k: np.stack([r[k] for r in reshaped])
+                    for k in reshaped[0] if reshaped[0][k] is not None
                 }
                 lead = 1 + (1 if accum > 1 else 0)
                 state, metrics = multi_fn(
@@ -166,7 +170,7 @@ def _fit_epochs(trainer, state, train_data, eval_data, cfg, ckpt, key,
 
         for batch in train_data(epoch):
             if multi_fn is None:
-                bs = len(next(iter(batch.values())))
+                bs = batch_size(batch)
                 batch = reshape_accum(batch, bs)
                 state, metrics = step_fn(
                     state, trainer.shard_batch(batch, stacked=accum > 1), key
