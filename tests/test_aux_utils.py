@@ -354,3 +354,39 @@ def test_time_scan_steps_harness():
     rate, state2 = time_scan_steps(trainer, state, batch, K=2, repeats=1)
     assert rate > 0
     assert int(np.asarray(state2.step)) == 4  # warmup K + repeats·K
+
+
+def test_flickr_head_upperbound_reflects_unreachable(rng):
+    """Through the model head (models/visualbert.py flickr branch): an
+    entity whose label row is all-zero is a guaranteed miss, so
+    upperbound_accuracy = mean reachable mass < 1 and accuracy <= ub."""
+    import jax
+    import jax.numpy as jnp
+
+    from visualbert_tpu.config import VisualBertConfig
+    from visualbert_tpu.models.visualbert import VisualBertForTask
+    from visualbert_tpu.train.trainer import unbox
+
+    cfg = VisualBertConfig.tiny(visual_embedding_dim=16)
+    model = VisualBertForTask(cfg, head_type="flickr")
+    B, TT, TV, E = 2, 8, 6, 3
+    label = np.zeros((B, E, TV), np.float32)
+    label[:, 0, 1] = 1.0          # entity 0: fully reachable
+    label[:, 1, :2] = 0.25        # entity 1: half the mass kept (0.5 total)
+    # entity 2: zero row — gold boxes outside the kept regions
+    positions = np.tile(np.array([1, 2, 3], np.int32), (B, 1))
+    batch = {
+        "input_ids": rng.randint(0, cfg.vocab_size, size=(B, TT)).astype(np.int32),
+        "input_mask": np.ones((B, TT), np.int32),
+        "visual_embeddings": rng.randn(B, TV, 16).astype(np.float32),
+        "image_mask": np.ones((B, TV), np.int32),
+        "flickr_position": positions,
+        "label": label,
+    }
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    params = unbox(model.init({"params": jax.random.PRNGKey(0)}, jb)["params"])
+    out = model.apply({"params": params}, jb, deterministic=True)
+    ub = float(out["upperbound_accuracy"])
+    np.testing.assert_allclose(ub, 0.5, atol=1e-6)  # mean(1, 0.5, 0)
+    assert float(out["accuracy"]) <= ub + 1e-6
+    assert int(out["entity_num"]) == B * E
