@@ -190,6 +190,28 @@ V5E_PEAK_BF16 = 197e12
 
 
 def main():
+    # The remote-TPU tunnel can die (backend init then hangs forever, not
+    # erroring). Fail fast with a diagnostic instead of hanging the driver.
+    import os
+    import threading
+
+    ready = threading.Event()
+
+    def _watchdog():
+        if not ready.wait(180):
+            print(
+                "# TPU backend init did not complete within 180s — axon "
+                "tunnel down? aborting bench",
+                file=sys.stderr, flush=True,
+            )
+            os._exit(3)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+    import jax
+
+    jax.devices()  # blocks on backend init; watchdog guards the hang
+    ready.set()
+
     best = 0.0
     err = None
     # primary: unrolled layers (no scan residual-stacking copies) + fused
