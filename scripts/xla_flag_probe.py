@@ -71,7 +71,12 @@ def probe():
 
 def bench_flags():
     """Time the real bench step under each accepted flag (singly, on top of
-    the production options)."""
+    the production options). Uses K=12/unroll=1 — 5x lighter to trace and
+    compile than the headline K=60/unroll=3; relative flag effects carry."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
     import bench as bench_mod
 
     base = None
@@ -96,7 +101,7 @@ def bench_flags():
         try:
             v = bench_mod.measure(96, scan_layers=False, hidden_act="gelu",
                                   fused_mlm_xent=True, fast_dropout=True,
-                                  K=60, repeats=2, unroll=3)
+                                  K=12, repeats=3, unroll=1)
             if base is None:
                 base = v
             print(f"{tag:12s} {v:8.1f} pairs/s ({v / base * 100 - 100:+.1f}%)", flush=True)

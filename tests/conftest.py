@@ -23,6 +23,14 @@ try:
 except Exception:
     pass
 
+# Persistent compilation cache: most of the suite's wall time is XLA-CPU
+# compiles of jit programs that don't change between runs — with a warm
+# cache the fast pass drops from ~6 min to well under the 5-minute budget.
+# Opt out with VISUALBERT_JAX_CACHE=0 (e.g. when bisecting compiler flags).
+from visualbert_tpu.utils.compile_cache import enable_persistent_cache
+
+enable_persistent_cache("/tmp/visualbert_test_jax_cache")
+
 import numpy as np
 import pytest
 

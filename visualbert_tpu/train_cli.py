@@ -21,7 +21,10 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     from visualbert_tpu.tasks import registry
+    from visualbert_tpu.utils.compile_cache import enable_persistent_cache
     from visualbert_tpu.utils.config_io import load_task_config
+
+    enable_persistent_cache()  # recompiles of unchanged programs = disk read
 
     cfg = load_task_config(
         args.config,

@@ -1,0 +1,35 @@
+"""Persistent XLA compilation cache.
+
+The production train step is one large XLA program (12 unrolled layers ×
+``steps_per_dispatch`` scan, fused optimizer); on the remote-TPU transport a
+cold compile takes minutes. The reference pays an analogous one-time cost
+per process via torch's eager CUDA kernel loading, but re-pays tracing on
+every restart; here one line makes recompiles of an unchanged program a
+disk read. Called by ``train_cli`` and ``bench.py`` before the first jit.
+
+Opt out (or redirect) with VISUALBERT_JAX_CACHE=0 / =<dir>.
+"""
+
+from __future__ import annotations
+
+import os
+
+DEFAULT_DIR = "/tmp/visualbert_jax_cache"
+
+
+def enable_persistent_cache(path: str | None = None) -> str | None:
+    """Point jax at an on-disk compilation cache; returns the dir (or None
+    when disabled). Safe to call more than once."""
+    env = os.environ.get("VISUALBERT_JAX_CACHE")
+    if env == "0":
+        return None
+    path = path or env or DEFAULT_DIR
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        # don't bother persisting trivial executables
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:  # very old jax without the knobs — cache is best-effort
+        return None
+    return path
