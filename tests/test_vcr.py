@@ -40,6 +40,67 @@ def test_render_tokens(tok):
     assert align[sub.index("car")] == [1]
 
 
+def test_render_tokens_randomized_names(tok):
+    """With a seeded rng, person names are drawn uniformly at first mention
+    (reference r2c diversity; deterministic per (seed, epoch, index)), stay
+    consistent within an example via name_map, and differ across examples."""
+    names = vcr_ds.GENDER_NEUTRAL_NAMES
+    big_tok = BertTokenizer(
+        {w: i for i, w in enumerate(VOCAB + names)}
+    )
+    objects = ["person", "person"]
+
+    seen_first = []
+    for trial in range(300):
+        rng = np.random.default_rng(trial)
+        name_map = {}
+        sub, _ = vcr_ds.render_tokens(
+            ["w1", [0], [1], [0]], objects, big_tok, rng=rng, name_map=name_map
+        )
+        rendered = [s for s in sub if s in names]
+        assert len(rendered) == 3
+        # re-mention of person 0 reuses its first name
+        assert rendered[0] == rendered[2] == name_map[0]
+        assert rendered[1] == name_map[1]
+        seen_first.append(rendered[0])
+    # every name appears; roughly uniform (300 draws over 13 names)
+    counts = {n: seen_first.count(n) for n in names}
+    assert all(c > 0 for c in counts.values())
+    assert max(counts.values()) < 3 * 300 / len(names)
+
+    # reproducibility: same rng seed → same names
+    a, _ = vcr_ds.render_tokens(
+        [[0], [1]], objects, big_tok, rng=np.random.default_rng(7)
+    )
+    b, _ = vcr_ds.render_tokens(
+        [[0], [1]], objects, big_tok, rng=np.random.default_rng(7)
+    )
+    assert a == b
+
+    # rng=None keeps the deterministic object-index cycle
+    c, _ = vcr_ds.render_tokens([[0]], objects, big_tok)
+    assert c == [names[0]]
+
+
+def test_vcr_dataset_names_consistent_across_choices(tok):
+    """VCRDataset threads ONE name_map through question + all 4 choices."""
+    names = vcr_ds.GENDER_NEUTRAL_NAMES
+    big_tok = BertTokenizer({w: i for i, w in enumerate(VOCAB + names)})
+    ann, images = vcr_ds.make_synthetic(2, big_tok)
+    # force a person mention in question and every choice
+    ann[0]["objects"] = ["person"]
+    ann[0]["question"] = ["w1", [0]]
+    ann[0]["choices"] = [[[0], "w2"] for _ in range(4)]
+    ds = vcr_ds.VCRDataset(ann, images, big_tok, max_seq_length=16, max_boxes=5)
+    s = ds[(0, np.random.default_rng(5))]
+    ids = s["input_ids"]
+    name_ids = {big_tok.vocab[n] for n in names}
+    per_choice = [
+        {int(t) for t in ids[c] if int(t) in name_ids} for c in range(4)
+    ]
+    assert all(pc == per_choice[0] and len(pc) == 1 for pc in per_choice)
+
+
 def test_vcr_dataset_shapes(tok):
     ann, images = vcr_ds.make_synthetic(4, tok)
     ds = vcr_ds.VCRDataset(ann, images, tok, max_seq_length=24, max_boxes=5)

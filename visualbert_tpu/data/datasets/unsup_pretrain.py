@@ -53,6 +53,7 @@ class UnsupervisedPretrainDataset:
         tag_joint_mask_ratio: float = 0.5,
         image_only: bool = False,
         text_available: bool = True,
+        inbatch_random: bool = True,
     ):
         self.annotations = annotations
         self.features = features
@@ -67,6 +68,19 @@ class UnsupervisedPretrainDataset:
         self.tag_joint_mask_ratio = tag_joint_mask_ratio
         self.image_only = image_only
         self.text_available = text_available
+        # the reference's headline configs run with inbatch_random: true
+        # (configs/pretrain/unsupervised.json:55): the 10% random-feature
+        # replacements come from OTHER examples in the batch, applied by the
+        # Batcher through this batch-level hook (data/pipeline.py)
+        self.inbatch_random = inbatch_random
+
+    @property
+    def batch_transform(self):
+        if not self.inbatch_random:
+            return None
+        from visualbert_tpu.data.masking import in_batch_random_replace
+
+        return in_batch_random_replace
 
     def __len__(self):
         return len(self.annotations)
@@ -110,10 +124,15 @@ class UnsupervisedPretrainDataset:
         attr_ids = np.asarray(row.get("attrs_id", np.zeros(N)), np.int64)[:N]
         attr_conf = np.asarray(row.get("attrs_conf", np.ones(N)), np.float32)[:N]
 
-        # feature masking — target is the ORIGINAL features
+        # feature masking — target is the ORIGINAL features; with
+        # inbatch_random the 10% random slots carry a transient 2.0 mark
+        # that the batch_transform resolves against the whole batch
         corrupted, feat_mask = random_mask_features(
-            feats, rng, self.feature_mask_prob
+            feats, rng, self.feature_mask_prob, in_batch_mark=self.inbatch_random
         )
+        # derived conf/label masks must not see the 2.0 mark (it only means
+        # "replace at collate"; loss semantics there are the plain mask=1)
+        feat_masked = np.minimum(feat_mask, 1.0)
 
         # tags with coupled masking
         tags, tag_boxes = build_tags(
@@ -129,9 +148,9 @@ class UnsupervisedPretrainDataset:
             "boxes": boxes,
             "visual_feats_mask": np.ones(N, np.int32),
             "obj_labels": np.where(feat_mask > 0, obj_ids, -1).astype(np.int32),
-            "obj_conf": (obj_conf * feat_mask).astype(np.float32),
+            "obj_conf": (obj_conf * feat_masked).astype(np.float32),
             "attr_labels": np.where(feat_mask > 0, attr_ids, -1).astype(np.int32),
-            "attr_conf": (attr_conf * feat_mask).astype(np.float32),
+            "attr_conf": (attr_conf * feat_masked).astype(np.float32),
             "feat_target": feats,
             "feat_mask": feat_mask,
             "visual_tags": tags_corrupt.astype(np.int32),

@@ -21,7 +21,7 @@ Image-side arrays come from the feature store under ``image_id``:
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple, Union
+from typing import Dict, List, Optional, Sequence, Tuple, Union
 
 import numpy as np
 
@@ -30,8 +30,9 @@ from visualbert_tpu.data.masking import truncate_seq_pair
 from visualbert_tpu.data.pipeline import pad_to
 from visualbert_tpu.data.tokenization import BertTokenizer
 
-# Deterministic det-tag → name rendering (the reference cycles a list of
-# gender-neutral names keyed by object index, vcr_data_utils.py:5-38).
+# Det-tag → gender-neutral-name rendering (reference cycles this list by a
+# per-example person counter in first-mention order, vcr_data_utils.py:14-38;
+# the original r2c pipeline randomizes the choice).
 GENDER_NEUTRAL_NAMES = [
     "casey", "riley", "jessie", "jackie", "avery", "jaime", "peyton",
     "kerry", "jody", "kendall", "frankie", "pat", "quinn",
@@ -44,12 +45,24 @@ def render_tokens(
     mixed: Sequence[Token],
     objects: Sequence[str],
     tokenizer: BertTokenizer,
+    rng=None,
+    name_map: Optional[Dict[int, str]] = None,
 ) -> Tuple[List[str], List[List[int]]]:
     """Render mixed text/detection tokens to subwords.
+
+    Person detections get a gender-neutral name, chosen at first mention —
+    uniformly from ``GENDER_NEUTRAL_NAMES`` via the example's seeded ``rng``
+    (reproducible train-time name diversity) or, with ``rng=None``, by the
+    deterministic object-index cycle. Re-mentions reuse the first choice via
+    ``name_map`` — pass the same (mutated-in-place) dict across the question
+    and every answer choice so one example names its people consistently,
+    like the reference's det_hist threading (vcr_data_utils.py:41-51).
 
     Returns (subwords, alignment) where alignment[i] is the list of object
     indices the i-th subword refers to ([] for plain words).
     """
+    if name_map is None:
+        name_map = {}
     subwords: List[str] = []
     align: List[List[int]] = []
     for tok in mixed:
@@ -60,11 +73,18 @@ def render_tokens(
         else:
             obj_idxs = list(tok)
             for k, oi in enumerate(obj_idxs):
-                name = (
-                    GENDER_NEUTRAL_NAMES[oi % len(GENDER_NEUTRAL_NAMES)]
-                    if oi < len(objects) and objects[oi] == "person"
-                    else (objects[oi] if oi < len(objects) else "thing")
-                )
+                if oi < len(objects) and objects[oi] == "person":
+                    name = name_map.get(oi)
+                    if name is None:
+                        if rng is not None:
+                            name = GENDER_NEUTRAL_NAMES[
+                                int(rng.integers(len(GENDER_NEUTRAL_NAMES)))
+                            ]
+                        else:
+                            name = GENDER_NEUTRAL_NAMES[oi % len(GENDER_NEUTRAL_NAMES)]
+                        name_map[oi] = name
+                else:
+                    name = objects[oi] if oi < len(objects) else "thing"
                 words = ([name] if k == 0 else ["and", name])
                 for w in words:
                     pieces = tokenizer.tokenize(w)
@@ -123,7 +143,12 @@ class VCRDataset:
         item = self.annotations[i]
         objects = item["objects"]
 
-        q_sub, q_align = render_tokens(item["question"], objects, self.tokenizer)
+        # one name_map across question + all choices: consistent person
+        # names within the example, randomized across examples by the rng
+        name_map: Dict[int, str] = {}
+        q_sub, q_align = render_tokens(
+            item["question"], objects, self.tokenizer, rng=rng, name_map=name_map
+        )
         C = self.num_choices
         T = self.max_seq_length
         N, A = self.max_boxes, self.align_slots
@@ -136,7 +161,9 @@ class VCRDataset:
         alignment = np.full((C, N, A), -1, np.int32)
 
         for c, choice in enumerate(item["choices"]):
-            c_sub, c_align = render_tokens(choice, objects, self.tokenizer)
+            c_sub, c_align = render_tokens(
+                choice, objects, self.tokenizer, rng=rng, name_map=name_map
+            )
             ids, seg, mask, aligns = self._encode_choice(q_sub, q_align, c_sub, c_align)
             input_ids[c], token_type[c], input_mask[c] = ids, seg, mask
             slots_used = np.zeros(N, np.int32)
@@ -233,8 +260,13 @@ class VCRPretrainDataset(VCRDataset):
 
         from visualbert_tpu.data.masking import MLM_IGNORE, random_word
 
-        q_sub, q_align = render_tokens(item["question"], objects, self.tokenizer)
-        c_sub, c_align = render_tokens(item["choices"][c], objects, self.tokenizer)
+        name_map: Dict[int, str] = {}
+        q_sub, q_align = render_tokens(
+            item["question"], objects, self.tokenizer, rng=rng, name_map=name_map
+        )
+        c_sub, c_align = render_tokens(
+            item["choices"][c], objects, self.tokenizer, rng=rng, name_map=name_map
+        )
         q_sub, q_lbl = random_word(q_sub, self.tokenizer, rng, self.mask_prob)
         c_sub, c_lbl = random_word(c_sub, self.tokenizer, rng, self.mask_prob)
 

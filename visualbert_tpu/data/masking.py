@@ -221,12 +221,23 @@ def random_mask_features(
     rng: np.random.Generator,
     mask_prob: float = 0.15,
     pool: Optional[np.ndarray] = None,
+    in_batch_mark: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Region-feature masking for the unsupervised stack.
+    """Region-feature masking for the unsupervised stack
+    (reference ``lxmert_data.py:558-583``).
 
     Returns (corrupted feats, mask) where mask[i]=1 marks a masked region
-    (loss is computed there). 80% zero, 10% replace with a random feature
-    from ``pool`` (defaults to the same image), 10% keep.
+    (loss is computed there). 80% zero, 10% random-replace, 10% keep.
+
+    The 10% random branch has two modes:
+      * ``in_batch_mark=True`` (the reference's ``inbatch_random`` headline
+        config): leave the feature untouched here and set mask[i]=2.0 — a
+        transient mark that ``in_batch_random_replace`` consumes at collate
+        time, swapping in an ORIGINAL feature from another example of the
+        batch and resetting the mark to 1.0 (lxmert_data.py:576-579,756-771).
+      * otherwise: replace from ``pool`` (defaults to the same image's
+        regions — the reference's non-inbatch mode draws from the whole
+        dataset via ``random_feat``; pass a cross-example pool for that).
     """
     feats = feats.copy()
     n = feats.shape[0]
@@ -240,8 +251,40 @@ def random_mask_features(
             if p < 0.8:
                 feats[i] = 0.0
             elif p < 0.9:
-                feats[i] = pool[int(rng.integers(pool.shape[0]))]
+                if in_batch_mark:
+                    mask[i] = 2.0  # special mark; resolved at collate time
+                else:
+                    feats[i] = pool[int(rng.integers(pool.shape[0]))]
     return feats, mask
+
+
+def in_batch_random_replace(batch: dict, rng: np.random.Generator) -> dict:
+    """Resolve the 2.0 marks left by ``random_mask_features(in_batch_mark=
+    True)``: each marked region is overwritten with the ORIGINAL (uncorrupted
+    ``feat_target``) feature of a random region j≠i of a random OTHER example
+    in the batch, and its conf weight drops back to 1.0 — the reference's
+    ``create_in_batch_random_feat`` collate hook (lxmert_data.py:756-771).
+
+    Mutates and returns ``batch`` (arrays are the collated copies)."""
+    fm = batch.get("feat_mask")
+    if fm is None or not (fm == 2.0).any():
+        return batch
+    feats = batch["visual_feats"]
+    target = batch["feat_target"]
+    B, N = fm.shape
+    if B < 2 or N < 2:  # degenerate batch: keep the feature (mark → keep)
+        fm[fm == 2.0] = 1.0
+        return batch
+    for b, i in np.argwhere(fm == 2.0):
+        ob = int(rng.integers(B - 1))
+        if ob >= b:
+            ob += 1  # uniform over the OTHER examples
+        oj = int(rng.integers(N - 1))
+        if oj >= i:
+            oj += 1  # reference also rejects j == i
+        feats[b, i] = target[ob, oj]
+        fm[b, i] = 1.0
+    return batch
 
 
 def compute_answer_scores(counts: np.ndarray) -> np.ndarray:

@@ -89,14 +89,34 @@ class Batcher:
         pool = self._get_pool()
         for start in range(0, n, self.batch_size):
             idx = order[start : start + self.batch_size]
+            n_real = len(idx)
             if len(idx) < self.batch_size:
                 if self.drop_last:
                     break
                 if self.pad_final:
-                    # repeat last indices so shapes stay static; callers use
-                    # 'example_weight' to mask duplicates out of metrics
+                    # repeat last indices so shapes stay static; every batch
+                    # from a pad_final batcher carries 'example_weight'
+                    # (0.0 on the duplicated rows) and metric consumers
+                    # weight by it — duplicates never bias eval scalars
                     pad = np.resize(idx, self.batch_size)
                     idx = pad
+            def finish(batch):
+                if self.pad_final:
+                    w = np.zeros(len(idx), np.float32)
+                    w[:n_real] = 1.0
+                    batch["example_weight"] = w
+                # datasets may expose a batch-level transform that needs
+                # cross-example visibility (e.g. in-batch random feature
+                # replacement, data/masking.py::in_batch_random_replace);
+                # rng keyed off (seed, epoch, start, 1) — the trailing 1
+                # disambiguates from per-sample (seed, epoch, index) keys
+                transform = getattr(self.dataset, "batch_transform", None)
+                if transform is not None:
+                    batch = transform(
+                        batch, np.random.default_rng((self.seed, epoch, start, 1))
+                    )
+                return batch
+
             if pool is not None and self.collate is default_collate:
                 # fill-into-buffer collate: each worker writes its sample
                 # straight into the batch arrays, so the big visual-feature
@@ -127,13 +147,13 @@ class Batcher:
                         bufs[k][j] = v
 
                 list(pool.map(fill, range(1, len(idx))))
-                yield bufs
+                yield finish(bufs)
             elif pool is not None:
                 samples = list(pool.map(lambda i: self._fetch(epoch, i), idx))
-                yield self.collate(samples)
+                yield finish(self.collate(samples))
             else:
                 samples = [self._fetch(epoch, i) for i in idx]
-                yield self.collate(samples)
+                yield finish(self.collate(samples))
 
     def __iter__(self):
         return self.epoch(0)
@@ -215,6 +235,10 @@ class SubsetDataset:
     def __getitem__(self, args):
         i, rng = args
         return self.dataset[(self.indices[i], rng)]
+
+    @property
+    def batch_transform(self):
+        return getattr(self.dataset, "batch_transform", None)
 
 
 def bucket_boundaries_assign(lengths: Sequence[int], boundaries: Sequence[int]):

@@ -35,33 +35,48 @@ def cross_entropy_ignore_index(logits: Array, labels: Array, ignore_index: int =
     return nll.sum() / count
 
 
-def cross_entropy(logits: Array, labels: Array) -> Array:
-    """``torch.nn.CrossEntropyLoss()`` — mean over batch."""
+def weighted_mean(values: Array, weights) -> Array:
+    """Mean of per-example ``values`` under optional per-example ``weights``
+    (1.0 real / 0.0 tail-pad duplicate — see data/pipeline.py Batcher
+    pad_final). ``weights=None`` is the plain mean."""
+    values = values.astype(jnp.float32)
+    if weights is None:
+        return values.mean()
+    w = weights.astype(jnp.float32)
+    return (values * w).sum() / jnp.maximum(w.sum(), 1e-12)
+
+
+def cross_entropy(logits: Array, labels: Array, weights=None) -> Array:
+    """``torch.nn.CrossEntropyLoss()`` — mean over batch (weighted when the
+    batch carries example_weight)."""
     logits = logits.astype(jnp.float32)
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
-    return nll.mean()
+    return weighted_mean(nll, weights)
 
 
-def kl_div_batchmean(log_probs: Array, target: Array) -> Array:
+def kl_div_batchmean(log_probs: Array, target: Array, weights=None) -> Array:
     """``torch.nn.KLDivLoss(reduction='batchmean')``: sum of
     target*(log(target)-log_probs) over all elements / batch size, with the
-    0*log(0)=0 convention (reference modeling.py:1517-1521)."""
+    0*log(0)=0 convention (reference modeling.py:1517-1521). ``weights``
+    generalizes the /B to a weighted per-example mean."""
     log_probs = log_probs.astype(jnp.float32)
     target = target.astype(jnp.float32)
     safe_log_t = jnp.where(target > 0, jnp.log(jnp.maximum(target, 1e-30)), 0.0)
     elt = jnp.where(target > 0, target * (safe_log_t - log_probs), 0.0)
-    return elt.sum() / log_probs.shape[0]
+    per_example = elt.reshape(elt.shape[0], -1).sum(axis=-1)
+    return weighted_mean(per_example, weights)
 
 
-def binary_cross_entropy_with_logits(logits: Array, target: Array) -> Array:
+def binary_cross_entropy_with_logits(logits: Array, target: Array, weights=None) -> Array:
     """``torch.nn.BCEWithLogitsLoss()`` — mean over all elements
-    (unsupervised stack VQA loss, tasks/vqa.py:106)."""
+    (unsupervised stack VQA loss, tasks/vqa.py:106). ``weights`` drops
+    zero-weight rows from the mean."""
     logits = logits.astype(jnp.float32)
     target = target.astype(jnp.float32)
     # numerically stable: max(x,0) - x*t + log(1+exp(-|x|))
     loss = jnp.maximum(logits, 0) - logits * target + jnp.log1p(jnp.exp(-jnp.abs(logits)))
-    return loss.mean()
+    return weighted_mean(loss.reshape(loss.shape[0], -1).mean(axis=-1), weights)
 
 
 def smooth_l1(pred: Array, target: Array) -> Array:

@@ -420,11 +420,15 @@ class UnsupervisedVQAModel(nn.Module):
         logits = self.answer_head(trunk_out["pooled_output"])
         out = {"logits": logits, "loss": None}
         if batch.get("target") is not None:
-            # BCEWithLogits mean × num_answers (vqa.py:106-107)
-            l = losses.binary_cross_entropy_with_logits(logits, batch["target"])
+            # BCEWithLogits mean × num_answers (vqa.py:106-107); weighted by
+            # example_weight so pad_final eval batches stay exact
+            w = batch.get("example_weight")
+            l = losses.binary_cross_entropy_with_logits(
+                logits, batch["target"], weights=w
+            )
             out["loss"] = l * logits.shape[-1]
             scores = jnp.take_along_axis(
                 batch["target"], jnp.argmax(logits, -1)[:, None], axis=1
             )[:, 0]
-            out["accuracy"] = scores.mean()
+            out["accuracy"] = losses.weighted_mean(scores, w)
         return out

@@ -48,6 +48,20 @@ def _flatten_choices(x: Optional[Array], extra_dims: int = 1) -> Optional[Array]
     return x.reshape((-1,) + x.shape[2:])
 
 
+def _drop_zero_weight_labels(labels: Optional[Array], weights: Optional[Array],
+                             ignore_index: int = -1) -> Optional[Array]:
+    """Set token labels of zero-weight (tail-pad duplicate) examples to the
+    ignore index so CE/accuracy reductions skip them. ``labels`` rows may be
+    the choice-flattened [B*C, ...] of a [B] weight vector."""
+    if labels is None or weights is None:
+        return labels
+    w = weights
+    if labels.shape[0] != w.shape[0]:
+        w = jnp.repeat(w, labels.shape[0] // w.shape[0])
+    keep = (w > 0).reshape((-1,) + (1,) * (labels.ndim - 1))
+    return jnp.where(keep, labels, ignore_index)
+
+
 class VisualBertForTask(nn.Module):
     config: VisualBertConfig
     head_type: str  # one of config.HEAD_TYPES
@@ -83,6 +97,10 @@ class VisualBertForTask(nn.Module):
         visual_types = _flatten_choices(batch.get("visual_embeddings_type"))
         image_text_alignment = _flatten_choices(batch.get("image_text_alignment"), extra_dims=2)
         masked_lm_labels = _flatten_choices(batch.get("masked_lm_labels"))
+        # 1.0 real / 0.0 tail-pad duplicate rows (Batcher pad_final); every
+        # loss/metric below is weighted so padded eval batches stay exact
+        example_weight = batch.get("example_weight")
+        masked_lm_labels = _drop_zero_weight_labels(masked_lm_labels, example_weight)
 
         if image_mask is not None:
             attention_mask = jnp.concatenate([input_mask, image_mask], axis=-1)
@@ -172,7 +190,10 @@ class VisualBertForTask(nn.Module):
                 out["mlm_accuracy"] = correct.sum() / jnp.maximum(valid.sum(), 1)
             if self.head_type == "pretraining" and batch.get("is_random_next") is not None:
                 nsp_loss = losses.cross_entropy_ignore_index(
-                    nsp_logits, batch["is_random_next"].reshape(-1)
+                    nsp_logits,
+                    _drop_zero_weight_labels(
+                        batch["is_random_next"].reshape(-1), example_weight
+                    ),
                 )
                 out["next_sentence_loss"] = nsp_loss
                 total = total + nsp_loss
@@ -183,9 +204,11 @@ class VisualBertForTask(nn.Module):
             logits = logits.reshape(-1, self.num_choices)
             out["logits"] = logits
             if batch.get("label") is not None:
-                out["loss"] = losses.cross_entropy(logits, batch["label"])
-                out["accuracy"] = jnp.mean(
-                    (jnp.argmax(logits, -1) == batch["label"]).astype(jnp.float32)
+                out["loss"] = losses.cross_entropy(
+                    logits, batch["label"], weights=example_weight
+                )
+                out["accuracy"] = losses.weighted_mean(
+                    jnp.argmax(logits, -1) == batch["label"], example_weight
                 )
 
         elif self.head_type == "vqa":
@@ -199,23 +222,30 @@ class VisualBertForTask(nn.Module):
             out["logits"] = logits
             if batch.get("label") is not None:
                 log_probs = jax.nn.log_softmax(logits, axis=-1)
-                out["loss"] = losses.kl_div_batchmean(log_probs, batch["label"])
+                out["loss"] = losses.kl_div_batchmean(
+                    log_probs, batch["label"], weights=example_weight
+                )
                 scores = losses.vqa_accuracy_scores(logits, batch["label"])
-                out["accuracy"] = scores.sum() / logits.shape[0]
+                out["accuracy"] = losses.weighted_mean(scores, example_weight)
 
         elif self.head_type == "nlvr":
             logits = self.classifier(pooled_output, deterministic)
             out["logits"] = logits
             if batch.get("label") is not None:
-                out["loss"] = losses.cross_entropy(logits, batch["label"])
-                out["accuracy"] = jnp.mean(
-                    (jnp.argmax(logits, -1) == batch["label"]).astype(jnp.float32)
+                out["loss"] = losses.cross_entropy(
+                    logits, batch["label"], weights=example_weight
+                )
+                out["accuracy"] = losses.weighted_mean(
+                    jnp.argmax(logits, -1) == batch["label"], example_weight
                 )
 
         elif self.head_type == "flickr":
             flickr_position = batch.get("flickr_position")
             if flickr_position is not None:
                 pos_mask = flickr_position != -1
+                if example_weight is not None:
+                    # tail-pad duplicate rows contribute no entities
+                    pos_mask = pos_mask & (example_weight > 0)[:, None]
                 safe_pos = jnp.maximum(flickr_position, 0)
                 # entity hidden states gathered from the sequence
                 # (reference modeling.py:1573-1581)
@@ -228,7 +258,9 @@ class VisualBertForTask(nn.Module):
                 log_probs = jax.nn.log_softmax(scores, axis=-1)
                 out["logits"] = scores
                 label = batch["label"].astype(jnp.float32)
-                out["loss"] = losses.kl_div_batchmean(log_probs, label)
+                out["loss"] = losses.kl_div_batchmean(
+                    log_probs, label, weights=example_weight
+                )
                 # accuracy: argmax region has positive label mass
                 # (reference modeling.py:1648-1676, recall=1)
                 pred = jnp.argmax(scores, axis=-1)

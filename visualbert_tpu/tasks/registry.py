@@ -148,7 +148,13 @@ def evaluate(trainer, state, eval_b, dump_hook, folder,
         if out_select is not None:
             out = out_select(out)
         out = jax.device_get(out)
-        bs = len(next(iter(batch.values())))
+        # weight by the REAL example count: model scalars are weighted means
+        # over non-duplicate rows (example_weight from Batcher pad_final),
+        # so Σ(scalar·real)/Σreal is the exact split-level metric
+        if "example_weight" in batch:
+            bs = float(np.sum(batch["example_weight"]))
+        else:
+            bs = len(next(iter(batch.values())))
         acc.update(
             {k: v for k, v in out.items() if hasattr(v, "ndim") and v.ndim == 0}, bs
         )

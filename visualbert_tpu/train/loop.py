@@ -198,7 +198,13 @@ def _fit_epochs(trainer, state, train_data, eval_data, cfg, ckpt, key,
         if eval_fn is not None:
             eacc = MetricAccumulator()
             for batch in eval_data():
-                bs = len(next(iter(batch.values())))
+                # real (non-tail-pad-duplicate) example count — model scalars
+                # are example_weight-weighted means, so this weight makes the
+                # epoch rollup exact (see data/pipeline.py Batcher pad_final)
+                if "example_weight" in batch:
+                    bs = float(np.sum(batch["example_weight"]))
+                else:
+                    bs = len(next(iter(batch.values())))
                 out = eval_fn(state.params, trainer.shard_batch(batch))
                 scalars = {
                     k: v for k, v in out.items()
