@@ -36,25 +36,42 @@ def entity_region_attention(
     return rows[..., text_len : text_len + n_regions]
 
 
-def grounding_accuracy_by_layer(
+def grounding_counts_by_layer(
     attn_probs: np.ndarray,
     flickr_position: np.ndarray,
     label: np.ndarray,            # [B, E, n_regions] soft gold distribution
     text_len: int,
-) -> Dict[int, float]:
-    """Per-layer accuracy of argmax(mean-over-heads entity→region attention)
-    against regions with positive gold mass."""
+    row_mask: np.ndarray = None,  # [B] bool — False drops an example's rows
+) -> "tuple[np.ndarray, int]":
+    """Per-layer hit counts of argmax(mean-over-heads entity→region
+    attention) against regions with positive gold mass. Returns
+    (hits [L], n_valid_entities) so batch results accumulate exactly —
+    ``row_mask`` excludes tail-pad duplicate examples (example_weight)."""
     n_regions = label.shape[-1]
     era = entity_region_attention(attn_probs, flickr_position, text_len, n_regions)
     mean_heads = era.mean(axis=2)  # [L, B, E, R]
     valid = flickr_position >= 0   # [B, E]
-    out = {}
+    if row_mask is not None:
+        valid = valid & np.asarray(row_mask, bool)[:, None]
+    hits = np.zeros(era.shape[0], np.int64)
     for l in range(era.shape[0]):
         pred = mean_heads[l].argmax(axis=-1)  # [B, E]
         hit = np.take_along_axis(label, pred[..., None], axis=2)[..., 0] > 0
-        hit = hit[valid]
-        out[l] = float(hit.mean()) if hit.size else 0.0
-    return out
+        hits[l] = int(hit[valid].sum())
+    return hits, int(valid.sum())
+
+
+def grounding_accuracy_by_layer(
+    attn_probs: np.ndarray,
+    flickr_position: np.ndarray,
+    label: np.ndarray,
+    text_len: int,
+) -> Dict[int, float]:
+    """Per-layer accuracy over one batch (see grounding_counts_by_layer)."""
+    hits, total = grounding_counts_by_layer(
+        attn_probs, flickr_position, label, text_len
+    )
+    return {l: float(hits[l]) / total if total else 0.0 for l in range(len(hits))}
 
 
 def extract_attention_maps(model, params, batch, mesh=None):

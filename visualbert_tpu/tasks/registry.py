@@ -512,6 +512,87 @@ def run_flickr(cfg: TaskConfig):
     return _run_fit(cfg, trainer, mk(train_ann), mk(eval_ann), dump_hook=dump)
 
 
+@register("flickr_probe")
+def run_flickr_probe(cfg: TaskConfig):
+    """ACL-2020 attention probing ("What Does BERT with Vision Look At?"):
+    restore a checkpoint, run the Flickr30k eval split with per-layer
+    attention export, and dump per-layer entity→region grounding accuracy —
+    the reference's ``output_attention_weights`` capability
+    (modeling.py:1316-1324,1430-1444) as a config-reachable task.
+
+    CLI:  python -m visualbert_tpu.train_cli --config configs/flickr_probe.json \\
+              --restore <ckpt>
+    Writes ``<folder>/flickr_probe.json`` = {"layer_0": acc, ...} and reports
+    the best layer's accuracy as the task metric."""
+    from visualbert_tpu.data.datasets import flickr as flickr_ds
+    from visualbert_tpu.tasks.probing import grounding_counts_by_layer
+    from visualbert_tpu.train.loop import FitResult
+
+    tok = _tokenizer(cfg)
+    d = cfg.data
+    if "synthetic" in d:
+        eval_ann, feats = flickr_ds.make_synthetic(
+            int(d["synthetic"]), tok, feat_dim=cfg.model.visual_embedding_dim
+        )
+    else:
+        with open(d["eval_annotations"]) as f:
+            eval_ann = json.load(f)
+        from visualbert_tpu.data.features import H5Features
+
+        feats = H5Features(d["features_h5"])
+    ds = flickr_ds.Flickr30kDataset(
+        eval_ann, feats, tok,
+        max_seq_length=int(d.get("max_seq_length", 128)),
+        max_regions=int(d.get("max_regions", 100)),
+        max_entities=int(d.get("max_entities", 16)),
+    )
+    model = VisualBertForTask(cfg.model, head_type="flickr")
+    trainer = _trainer(cfg, model)
+    eval_b = Batcher(
+        ds, cfg.train.eval_batch_size, shuffle=False, seed=cfg.train.seed,
+        drop_last=False, pad_final=True, num_workers=cfg.train.num_workers,
+    )
+    example = next(iter(eval_b.epoch(0)))
+    state = trainer.init_state(jax.random.PRNGKey(cfg.train.seed), example)
+    if cfg.restore_checkpoint:
+        state = _restore(cfg, trainer, state)
+
+    def probe_step(params, batch):
+        out = trainer.model.apply(
+            {"params": params}, batch,
+            deterministic=True, output_attention_probs=True,
+        )
+        return out["attention_weights"]  # [L, B, H, T, T]
+
+    with trainer.mesh:
+        probe_fn = jax.jit(probe_step)
+
+    hits, total = None, 0
+    text_len = ds.max_seq_length
+    for batch in eval_b.epoch(0):
+        attn = np.asarray(
+            jax.device_get(probe_fn(state.params, trainer.shard_batch(batch))),
+            np.float32,
+        )
+        w = batch.get("example_weight")
+        h, t = grounding_counts_by_layer(
+            attn, batch["flickr_position"], batch["label"], text_len,
+            row_mask=None if w is None else w > 0,
+        )
+        hits = h if hits is None else hits + h
+        total += t
+    accs = {f"layer_{l}": float(hits[l]) / max(total, 1) for l in range(len(hits))}
+    path = os.path.join(cfg.folder, "flickr_probe.json")
+    with open(path, "w") as f:
+        json.dump({"entities": total, **accs}, f, indent=1)
+    log.info("flickr_probe over %d entities → %s: %s", total, path,
+             {k: round(v, 4) for k, v in accs.items()})
+    return state, FitResult(
+        best_metric=max(accs.values()), best_epoch=-1, epochs_run=0,
+        history=[accs],
+    )
+
+
 @register("vcr")
 def run_vcr(cfg: TaskConfig):
     from visualbert_tpu.data.datasets import vcr as vcr_ds
