@@ -59,7 +59,17 @@ class Batcher:
         collate: Callable = default_collate,
         pad_final: bool = False,
         num_workers: int = 0,
+        process_shard: Optional[tuple] = None,
     ):
+        """``batch_size`` is always the GLOBAL batch size. On a multi-host
+        launch pass ``process_shard=(process_index, process_count)`` (see
+        ``parallel.distributed.local_batch_slice``): every host walks the
+        SAME global batch schedule — same shuffle, same per-sample
+        (seed, epoch, index) RNG keys — but fetches/collates only its own
+        contiguous row slice, which ``Trainer.shard_batch`` then assembles
+        into the global array with make_array_from_process_local_data. The
+        per-host slice is bit-identical to the corresponding rows of the
+        single-process batch."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -68,6 +78,13 @@ class Batcher:
         self.collate = collate
         self.pad_final = pad_final
         self.num_workers = num_workers
+        if process_shard is not None:
+            pi, pn = process_shard
+            assert batch_size % pn == 0, (batch_size, pn)
+            assert 0 <= pi < pn, process_shard
+            # a short non-padded tail batch cannot shard evenly across hosts
+            assert drop_last or pad_final, "process_shard needs drop_last or pad_final"
+        self.process_shard = process_shard
         self._pool = None
 
     def _get_pool(self):
@@ -100,11 +117,27 @@ class Batcher:
                     # weight by it — duplicates never bias eval scalars
                     pad = np.resize(idx, self.batch_size)
                     idx = pad
+            weights = None
+            if self.pad_final:
+                weights = np.zeros(len(idx), np.float32)
+                weights[:n_real] = 1.0
+            if self.process_shard is not None:
+                # this host's contiguous slice of the global batch (the
+                # __init__ asserts guarantee len(idx) == batch_size here)
+                pi, pn = self.process_shard
+                per = self.batch_size // pn
+                idx = idx[pi * per : (pi + 1) * per]
+                if weights is not None:
+                    weights = weights[pi * per : (pi + 1) * per]
+
             def finish(batch):
-                if self.pad_final:
-                    w = np.zeros(len(idx), np.float32)
-                    w[:n_real] = 1.0
-                    batch["example_weight"] = w
+                if weights is not None:
+                    batch["example_weight"] = weights
+                    # GLOBAL real-example count: host-side rollup weight that
+                    # stays exact when this host's local real count differs
+                    # (tail-pad duplicates land in the last host's slice).
+                    # Underscore keys never reach the device (shard_batch).
+                    batch["_real_count"] = float(n_real)
                 # datasets may expose a batch-level transform that needs
                 # cross-example visibility (e.g. in-batch random feature
                 # replacement, data/masking.py::in_batch_random_replace);

@@ -56,6 +56,15 @@ def _tokenizer(cfg: TaskConfig) -> BertTokenizer:
     return BertTokenizer({w: i for i, w in enumerate(words)})
 
 
+def _process_shard():
+    """(process_index, process_count) under a multi-host launch, else None —
+    every Batcher walks the same global schedule and feeds this host's slice
+    (SURVEY §2.3 plan: same pjit program, per-host sharded input)."""
+    from visualbert_tpu.parallel.distributed import process_shard
+
+    return process_shard()
+
+
 def _trainer(cfg: TaskConfig, model) -> Trainer:
     return Trainer(
         model=model,
@@ -82,15 +91,16 @@ def _run_fit(cfg: TaskConfig, trainer, train_ds, eval_ds, val_metric="accuracy",
              dump_hook=None, val_metric_higher_is_better=None, out_select=None):
     if val_metric_higher_is_better is None:
         val_metric_higher_is_better = val_metric != "loss"
+    shard = _process_shard()
     train_b = Batcher(
         train_ds, cfg.train.train_batch_size, seed=cfg.train.seed,
-        num_workers=cfg.train.num_workers,
+        num_workers=cfg.train.num_workers, process_shard=shard,
     )
     eval_b = (
         Batcher(
             eval_ds, cfg.train.eval_batch_size, shuffle=False,
             seed=cfg.train.seed, drop_last=False, pad_final=True,
-            num_workers=cfg.train.num_workers,
+            num_workers=cfg.train.num_workers, process_shard=shard,
         )
         if eval_ds is not None
         else None
@@ -143,15 +153,41 @@ def evaluate(trainer, state, eval_b, dump_hook, folder,
     eval_fn = trainer.eval_step_fn()
     acc = MetricAccumulator()
     collected = []
+    nproc = jax.process_count()
     for batch in eval_b.epoch(0):
         out = eval_fn(state.params, trainer.shard_batch(batch))
         if out_select is not None:
             out = out_select(out)
-        out = jax.device_get(out)
+        if nproc > 1:
+            # outputs are global (non-addressable) arrays: allgather, then
+            # keep this host's rows so (batch, out) pairs stay aligned —
+            # each host dumps its own slice of the split (docs/DISTRIBUTED.md)
+            from jax.experimental import multihost_utils
+
+            bs_local = len(next(
+                v for k, v in batch.items()
+                if v is not None and not k.startswith("_")
+            ))
+
+            def fetch(a):
+                if not hasattr(a, "shape"):
+                    return a
+                g = np.asarray(multihost_utils.process_allgather(a, tiled=True))
+                if g.ndim and g.shape[0] == bs_local * nproc:
+                    s = bs_local * jax.process_index()
+                    return g[s : s + bs_local]
+                return g
+
+            out = jax.tree.map(fetch, out)
+        else:
+            out = jax.device_get(out)
         # weight by the REAL example count: model scalars are weighted means
         # over non-duplicate rows (example_weight from Batcher pad_final),
-        # so Σ(scalar·real)/Σreal is the exact split-level metric
-        if "example_weight" in batch:
+        # so Σ(scalar·real)/Σreal is the exact split-level metric.
+        # _real_count is the GLOBAL count (per-host slices differ on the tail)
+        if "_real_count" in batch:
+            bs = float(batch["_real_count"])
+        elif "example_weight" in batch:
             bs = float(np.sum(batch["example_weight"]))
         else:
             bs = len(next(iter(batch.values())))
@@ -721,8 +757,9 @@ def run_unsup_pretrain(cfg: TaskConfig):
         **ds_kwargs,
     )
     workers = cfg.train.num_workers
+    shard = _process_shard()
     sources = [Batcher(vl, cfg.train.train_batch_size, seed=cfg.train.seed,
-                       num_workers=workers)]
+                       num_workers=workers, process_shard=shard)]
     ratios = [1.0]
     if d.get("image_only_ratio"):
         # image-only hybrid source: same V&L entries without a text stream
@@ -735,7 +772,8 @@ def run_unsup_pretrain(cfg: TaskConfig):
             img_ann, feats, tok, sym, image_only=True, **ds_kwargs
         )
         sources.append(Batcher(img_only, cfg.train.train_batch_size,
-                               seed=cfg.train.seed + 1, num_workers=workers))
+                               seed=cfg.train.seed + 1, num_workers=workers,
+                               process_shard=shard))
         ratios.append(float(d["image_only_ratio"]))
     if "text_corpus" in d:
         corpus = PackedCorpus.load(d["text_corpus"])
@@ -745,7 +783,8 @@ def run_unsup_pretrain(cfg: TaskConfig):
             matched_objective=bool(d.get("text_matched_objective", False)),
         )
         sources.append(Batcher(txt, cfg.train.train_batch_size,
-                               seed=cfg.train.seed, num_workers=workers))
+                               seed=cfg.train.seed, num_workers=workers,
+                               process_shard=shard))
         ratios.append(float(d.get("text_ratio", 1.0)))
     hybrid = HybridBatcher(sources, ratios, seed=cfg.train.seed)
 
@@ -768,7 +807,7 @@ def run_unsup_pretrain(cfg: TaskConfig):
             **ds_kwargs,
         )
         val_batcher = Batcher(val, cfg.train.eval_batch_size, seed=cfg.train.seed,
-                              num_workers=workers)
+                              num_workers=workers, process_shard=shard)
         eval_data = lambda: prefetch(val_batcher.epoch(0))
 
     model = UnsupervisedVisualBert(ucfg)

@@ -115,15 +115,20 @@ def _fit_epochs(trainer, state, train_data, eval_data, cfg, ckpt, key,
         pending_sig = None  # structure signature of the buffered batches
 
         def batch_size(batch):
-            return len(next(v for v in batch.values() if v is not None))
+            return len(next(
+                v for k, v in batch.items()
+                if v is not None and not k.startswith("_")
+            ))
 
         def reshape_accum(batch, bs):
             if accum <= 1:
                 return batch
             # split the global batch into [accum, micro, ...] for the
-            # in-step lax.scan accumulation (train/trainer.py)
+            # in-step lax.scan accumulation (train/trainer.py); "_" keys are
+            # host-side metadata, passed through untouched
             return {
-                k: None if v is None else v.reshape((accum, bs // accum) + v.shape[1:])
+                k: v if v is None or k.startswith("_")
+                else v.reshape((accum, bs // accum) + v.shape[1:])
                 for k, v in batch.items()
             }
 
@@ -200,8 +205,12 @@ def _fit_epochs(trainer, state, train_data, eval_data, cfg, ckpt, key,
             for batch in eval_data():
                 # real (non-tail-pad-duplicate) example count — model scalars
                 # are example_weight-weighted means, so this weight makes the
-                # epoch rollup exact (see data/pipeline.py Batcher pad_final)
-                if "example_weight" in batch:
+                # epoch rollup exact (see data/pipeline.py Batcher pad_final).
+                # _real_count is the GLOBAL count (multi-host launches feed
+                # per-host slices whose local counts differ on the tail batch)
+                if "_real_count" in batch:
+                    bs = float(batch["_real_count"])
+                elif "example_weight" in batch:
                     bs = float(np.sum(batch["example_weight"]))
                 else:
                     bs = len(next(iter(batch.values())))

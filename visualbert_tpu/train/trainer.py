@@ -284,17 +284,36 @@ class Trainer:
         """stacked=True for [accum, micro, ...] microbatch stacks — the batch
         axis to shard over 'data' is then axis 1. ``lead_axes`` generalizes:
         the number of unsharded leading axes before the batch axis (e.g. 2
-        for a [K, accum, micro, ...] multi-step × microbatch stack)."""
+        for a [K, accum, micro, ...] multi-step × microbatch stack).
+
+        Single-process: a plain device_put onto the mesh sharding.
+        Multi-process (``jax.distributed`` launch): the input arrays are this
+        host's SLICE of the global batch (``Batcher(process_shard=...)`` /
+        ``parallel.distributed.local_batch_slice``) and the global array is
+        assembled with ``jax.make_array_from_process_local_data`` — a
+        host-global device_put would fail on non-addressable devices.
+        Underscore-prefixed keys are host-side metadata, never device inputs."""
         if lead_axes is None:
             lead_axes = 1 if stacked else 0
         spec = P(*([None] * lead_axes), "data")
         sharding = NamedSharding(self.mesh, spec)
+        nproc = jax.process_count()
 
         def put(x):
             x = np.asarray(x)
-            return jax.device_put(x, sharding)
+            if nproc == 1:
+                return jax.device_put(x, sharding)
+            global_shape = (
+                x.shape[:lead_axes]
+                + (x.shape[lead_axes] * nproc,)
+                + x.shape[lead_axes + 1:]
+            )
+            return jax.make_array_from_process_local_data(sharding, x, global_shape)
 
-        return {k: put(v) for k, v in batch.items() if v is not None}
+        return {
+            k: put(v) for k, v in batch.items()
+            if v is not None and not k.startswith("_")
+        }
 
 
 def _mirror_param_specs(abstract_opt_state, pspecs):

@@ -20,10 +20,16 @@ def main(argv=None):
     p.add_argument("--eval_only", action="store_true", help="skip training, eval + dump predictions")
     args = p.parse_args(argv)
 
+    from visualbert_tpu.parallel.distributed import initialize_distributed
     from visualbert_tpu.tasks import registry
     from visualbert_tpu.utils.compile_cache import enable_persistent_cache
     from visualbert_tpu.utils.config_io import load_task_config
 
+    # multi-host launch (TPU pod / JAX_COORDINATOR_ADDRESS env): wire all
+    # hosts into one runtime before any backend use; no-op single-host.
+    # Every host then runs this same CLI and feeds its slice of each batch
+    # (docs/DISTRIBUTED.md).
+    initialize_distributed()
     enable_persistent_cache()  # recompiles of unchanged programs = disk read
 
     cfg = load_task_config(

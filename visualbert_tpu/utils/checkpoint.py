@@ -17,7 +17,26 @@ import jax
 import orbax.checkpoint as ocp
 
 
+def _primary() -> bool:
+    return jax.process_index() == 0
+
+
+def _barrier(name: str):
+    """Sync all hosts around non-collective directory mutations (rmtree,
+    best-copy, GC) — orbax's save is itself collective, the shutil ops are
+    not. No-op single-process."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(name)
+
+
 class CheckpointManager:
+    """Multi-host aware: on a ``jax.distributed`` launch every process calls
+    ``save``/``restore`` on the SAME directory (orbax writes each host's
+    addressable shards, host 0 the metadata); directory bookkeeping runs on
+    process 0 only, fenced by barriers."""
+
     def __init__(self, directory: str, max_to_keep: int = 5):
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
@@ -41,16 +60,20 @@ class CheckpointManager:
 
     def save(self, step: int, state: Any, is_best: bool = False) -> str:
         path = self._path(step)
-        if os.path.exists(path):
+        if _primary() and os.path.exists(path):
             shutil.rmtree(path)
+        _barrier(f"ckpt_pre_{step}")
         self._ckptr.save(path, state)
         self._ckptr.wait_until_finished()
-        if is_best:
-            best = os.path.join(self.directory, "best")
-            if os.path.exists(best):
-                shutil.rmtree(best)
-            shutil.copytree(path, best)
-        self._gc()
+        _barrier(f"ckpt_post_{step}")
+        if _primary():
+            if is_best:
+                best = os.path.join(self.directory, "best")
+                if os.path.exists(best):
+                    shutil.rmtree(best)
+                shutil.copytree(path, best)
+            self._gc()
+        _barrier(f"ckpt_done_{step}")
         return path
 
     def restore(self, target: Any, step: Optional[int] = None, best: bool = False) -> Any:
