@@ -1,0 +1,230 @@
+"""End-to-end throughput through the PRODUCTION fit path.
+
+The device-only headline (bench.py) times a K-step lax.scan over one
+device-resident batch; this script measures the full production pipeline —
+``tasks.registry``-style Batcher (threaded fill-buffer collate) + prefetch +
+``train.loop.fit`` with K-step device-stacked dispatch — over DISTINCT
+real-shaped COCO-pretrain batches (128 text tokens, 100 regions x 2048-d
+features), and itemizes the end-to-end chain:
+
+    host batch assembly  ->  host->device wire  ->  device compute
+
+Reference anchor this is claimed against: the full epoch loop
+``/root/reference/visualbert/models/train.py:232-264`` (torch DataLoader
+workers + per-step .cuda() copies + DataParallel step).
+
+On a real TPU host, host DMA is multiple GB/s and the wire never binds. On
+THIS sandbox the TPU is reached through a network tunnel measured at ~60 MB/s
+(probed below and printed), which is the binding constraint; the itemization
+separates that sandbox artifact from what the framework controls (host
+assembly rate and device rate). Features travel as bf16 (numerics identical:
+the encoder casts features to its bf16 compute dtype anyway).
+
+Usage: python scripts/e2e_bench.py [--steps N] [--batch B] [--json OUT]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def build_dataset(n_examples: int, pool: int = 256, seed: int = 0,
+                  feat_dtype="bfloat16"):
+    """Synthetic COCO-pretrain dataset at bench shapes, run through the REAL
+    CocoCaptionsDataset path (tokenize, 80/10/10 MLM mask, pair assembly,
+    region padding). A pool of distinct feature blocks is reused across
+    examples (COCO itself reuses each image ~5x across captions); every
+    sample still pays the real per-example feature copy."""
+    import ml_dtypes
+
+    from visualbert_tpu.data.datasets import coco as coco_ds
+    from visualbert_tpu.data.features import ChunkFeatures
+    from visualbert_tpu.data.tokenization import BertTokenizer
+
+    words_v = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]", "?"] + [
+        f"w{i}" for i in range(100)
+    ]
+    vocab = {w: i for i, w in enumerate(words_v)}
+    try:  # production fast path: the C++ WordPiece tokenizer (GIL-releasing)
+        from visualbert_tpu.data.fast_tokenizer import FastBertTokenizer
+
+        tok = FastBertTokenizer(vocab)
+    except Exception:
+        tok = BertTokenizer(vocab)
+    rng = np.random.default_rng(seed)
+    words = [w for w in tok.vocab if not w.startswith("[")]
+    dt = ml_dtypes.bfloat16 if feat_dtype == "bfloat16" else np.float32
+    chunk = {
+        str(i): {"features": rng.normal(size=(100, 2048)).astype(dt)}
+        for i in range(pool)
+    }
+    ann = [
+        {
+            "image_id": str(i % pool),
+            "captions": [
+                " ".join(words[int(rng.integers(len(words)))] for _ in range(12))
+                for _ in range(3)
+            ],
+        }
+        for i in range(n_examples)
+    ]
+    return coco_ds.CocoCaptionsDataset(
+        ann, ChunkFeatures(chunk), tok, max_seq_length=128, max_regions=100
+    )
+
+
+def measure_host_only(ds, batch_size, num_workers, n_batches=40):
+    """Pure host pipeline rate: Batcher + prefetch, batches discarded."""
+    from visualbert_tpu.data.pipeline import Batcher, prefetch
+
+    b = Batcher(ds, batch_size, seed=0, num_workers=num_workers)
+    it = prefetch(b.epoch(0), size=2)
+    next(it)  # warm (thread pool, first buffers)
+    t0 = time.perf_counter()
+    n = 0
+    for batch in it:
+        n += 1
+        if n >= n_batches:
+            break
+    dt = time.perf_counter() - t0
+    return n * batch_size / dt
+
+
+def measure_wire(batch_size):
+    """Sustained host->device bandwidth for one batch's feature block, and
+    with two transfers in flight (the double-buffered dispatch pattern)."""
+    import jax
+    import ml_dtypes
+
+    x = np.zeros((batch_size, 100, 2048), ml_dtypes.bfloat16)
+    d = jax.devices()[0]
+    jax.device_put(x, d).block_until_ready()
+    best = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        a = jax.device_put(x, d)
+        b = jax.device_put(x, d)
+        a.block_until_ready()
+        b.block_until_ready()
+        best = max(best, 2 * x.nbytes / (time.perf_counter() - t0))
+    return best
+
+
+def measure_e2e(ds, batch_size, steps_per_dispatch, num_workers, seed=0):
+    """The production path end-to-end: Trainer + fit() with K-step
+    device-stacked dispatch, 2 epochs — epoch 0 absorbs compilation, epoch 1
+    is timed. Returns (pairs/s, n_steps_timed)."""
+    import jax
+
+    from visualbert_tpu.config import OptimizerConfig, TrainConfig, VisualBertConfig
+    from visualbert_tpu.data.pipeline import Batcher, prefetch
+    from visualbert_tpu.models.visualbert import VisualBertForTask
+    from visualbert_tpu.parallel.mesh import create_mesh
+    from visualbert_tpu.train.loop import fit
+    from visualbert_tpu.train.trainer import Trainer
+
+    cfg = VisualBertConfig.base(
+        use_flash_attention=True, scan_layers=False, hidden_act="gelu",
+        fused_mlm_xent=True, fast_dropout=True,
+    )
+    model = VisualBertForTask(cfg, head_type="pretraining")
+    tcfg = TrainConfig(
+        train_batch_size=batch_size, num_train_epochs=2,
+        steps_per_dispatch=steps_per_dispatch, num_workers=num_workers,
+        log_every=0, save_every=0,
+    )
+    trainer = Trainer(
+        model=model,
+        opt_config=OptimizerConfig(
+            learning_rate=1e-4, schedule="warmup_linear", warmup=0.1,
+            t_total=10000,
+        ),
+        train_config=tcfg,
+        mesh=create_mesh((1, 1)),
+    )
+    batcher = Batcher(ds, batch_size, seed=seed, num_workers=num_workers)
+    example = next(iter(batcher.epoch(0)))
+    state = trainer.init_state(jax.random.PRNGKey(seed), example)
+
+    epoch_t0 = {}
+    end = [None]
+
+    def train_data(epoch):
+        epoch_t0[epoch] = time.perf_counter()
+
+        def gen():
+            for b in prefetch(batcher.epoch(epoch), size=2):
+                yield b
+            end[0] = time.perf_counter()  # after the LAST batch is consumed
+
+        return gen()
+
+    state, result = fit(trainer, state, train_data, None, config=tcfg,
+                        rng_seed=seed)
+    n_steps = batcher.num_batches()
+    # epoch-1 wall time: from the epoch-1 iterator being built to fit
+    # returning (the final dispatch + deferred-metric flush included)
+    dt = time.perf_counter() - epoch_t0[1]
+    return n_steps * batch_size / dt, n_steps
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=96, help="steps per epoch")
+    ap.add_argument("--batch", type=int, default=96)
+    ap.add_argument("--dispatch", type=int, default=8)
+    ap.add_argument("--workers", type=int, default=0,
+                    help="Batcher threads (0 = sequential; the 1-core bench "
+                    "host loses to GIL thrash with >0, measured)")
+    ap.add_argument("--json", default=None, help="write result JSON here")
+    ap.add_argument("--host-only", action="store_true")
+    args = ap.parse_args()
+
+    from visualbert_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
+    ds = build_dataset(args.steps * args.batch)
+    host_rate = measure_host_only(ds, args.batch, args.workers)
+    print(f"# host-only assembly: {host_rate:.1f} pairs/s", file=sys.stderr)
+    out = {
+        "host_assembly_pairs_per_s": round(host_rate, 1),
+        "batch": args.batch,
+        "steps_per_dispatch": args.dispatch,
+        "feature_wire_dtype": "bfloat16",
+    }
+    if not args.host_only:
+        wire = measure_wire(args.batch)
+        bytes_per_pair = 100 * 2048 * 2  # bf16 features dominate
+        wire_rate = wire / bytes_per_pair
+        print(
+            f"# wire: {wire / 1e6:.1f} MB/s -> {wire_rate:.1f} pairs/s ceiling",
+            file=sys.stderr,
+        )
+        e2e, n = measure_e2e(ds, args.batch, args.dispatch, args.workers)
+        print(f"# e2e fit loop: {e2e:.1f} pairs/s over {n} steps", file=sys.stderr)
+        out.update(
+            {
+                "wire_MB_per_s": round(wire / 1e6, 1),
+                "wire_pairs_per_s_ceiling": round(wire_rate, 1),
+                "e2e_pairs_per_s": round(e2e, 1),
+                "e2e_steps": n,
+                "binding_constraint": min(
+                    ("host", host_rate), ("wire", wire_rate), key=lambda t: t[1]
+                )[0],
+            }
+        )
+    print(json.dumps(out))
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(out, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

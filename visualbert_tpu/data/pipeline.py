@@ -150,12 +150,13 @@ class Batcher:
                     )
                 return batch
 
-            if pool is not None and self.collate is default_collate:
-                # fill-into-buffer collate: each worker writes its sample
-                # straight into the batch arrays, so the big visual-feature
-                # memcpy (≈0.8 MB/sample) parallelizes across workers —
-                # np.stack after pool.map was serial and dominated batch
-                # assembly (~20 ms of a 30 ms batch at bench shapes)
+            if self.collate is default_collate:
+                # fill-into-buffer collate: each sample is written straight
+                # into the batch arrays (workers parallelize the big
+                # visual-feature memcpy, ≈0.8 MB/sample) — np.stack over a
+                # sample list was a second serial pass over the whole batch
+                # and dominated assembly (~20 ms of a 30 ms batch at bench
+                # shapes; far worse on low-bandwidth hosts)
                 first = self._fetch(epoch, int(idx[0]))
                 bufs = {
                     k: np.empty((len(idx),) + np.shape(v), np.asarray(v).dtype)
@@ -179,7 +180,11 @@ class Batcher:
                     for k, v in s.items():
                         bufs[k][j] = v
 
-                list(pool.map(fill, range(1, len(idx))))
+                if pool is not None:
+                    list(pool.map(fill, range(1, len(idx))))
+                else:
+                    for j in range(1, len(idx)):
+                        fill(j)
                 yield finish(bufs)
             elif pool is not None:
                 samples = list(pool.map(lambda i: self._fetch(epoch, i), idx))
@@ -245,8 +250,14 @@ def pad_regions(
     padded along axis 0 with zeros."""
     n = min(feats.shape[0], max_regions)
     # asarray, not astype: fp32 inputs (the common case — H5/npy caches store
-    # fp32) must not pay a per-sample copy of the [n, 2048] block
-    out = pad_to(np.asarray(feats, np.float32), max_regions, axis=0)
+    # fp32) must not pay a per-sample copy of the [n, 2048] block. bf16
+    # feature caches stay bf16 end-to-end (wire bytes halve; numerics are
+    # identical — the encoder casts features to its bf16 compute dtype
+    # before the projection either way, models/encoder.py).
+    arr = np.asarray(feats)
+    if arr.dtype.itemsize != 2:  # anything but a 16-bit float cache → fp32
+        arr = np.asarray(arr, np.float32)
+    out = pad_to(arr, max_regions, axis=0)
     mask = np.zeros(max_regions, np.int32)
     mask[:n] = 1
     extras = {}

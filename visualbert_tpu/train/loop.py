@@ -104,7 +104,10 @@ def _fit_epochs(trainer, state, train_data, eval_data, cfg, ckpt, key,
                 val_metric, val_metric_higher_is_better, eval_hook,
                 eval_fn, step_fn, history, best, best_epoch):
     K = max(1, cfg.steps_per_dispatch)
-    multi_fn = trainer.multi_step_fn(K, unroll=min(3, K)) if K > 1 else None
+    multi_fn = (
+        trainer.multi_step_fn(K, unroll=min(3, K), device_stack=True)
+        if K > 1 else None
+    )
 
     for epoch in range(cfg.num_train_epochs):
         acc = MetricAccumulator()
@@ -148,30 +151,47 @@ def _fit_epochs(trainer, state, train_data, eval_data, cfg, ckpt, key,
                     and prev // cfg.save_every != n_batches // cfg.save_every):
                 ckpt.save(int(jax.device_get(state.step)), state)
 
+        # one-dispatch metric deferral: materializing a dispatch's scalar
+        # metrics (float()) blocks on its compute, so the rollup of dispatch
+        # N is read only after dispatch N+1 has been issued — its input
+        # transfers then overlap N's device time (double-buffered dispatch)
+        deferred = None
+
+        def flush_deferred():
+            nonlocal deferred
+            if deferred is not None:
+                d, deferred = deferred, None
+                after_steps(*d)
+
+        def defer_steps(metrics, n_new, weight):
+            nonlocal deferred
+            assert deferred is None
+            deferred = (metrics, n_new, weight)
+
         def dispatch_pending():
             nonlocal state, pending
             group, pending = pending, []
             bs = batch_size(group[0])
             if len(group) == K:
-                reshaped = [reshape_accum(b, bs) for b in group]
-                stacked = {
-                    k: np.stack([r[k] for r in reshaped])
-                    for k in reshaped[0] if reshaped[0][k] is not None
-                }
-                lead = 1 + (1 if accum > 1 else 0)
-                state, metrics = multi_fn(
-                    state, trainer.shard_batch(stacked, lead_axes=lead), key
-                )
+                # per-batch async device_put; the [K, ...] stack happens on
+                # device inside multi_fn (no host K-batch materialization)
+                device_group = [
+                    trainer.shard_batch(reshape_accum(b, bs), stacked=accum > 1)
+                    for b in group
+                ]
+                state, metrics = multi_fn(state, device_group, key)
+                flush_deferred()
                 # metrics arrive stacked [K]; fold to means for the rollup
                 metrics = {k: v.mean(0) for k, v in metrics.items()}
-                after_steps(metrics, len(group), bs * len(group))
+                defer_steps(metrics, len(group), bs * len(group))
             else:  # epoch tail shorter than K: fall back to per-step dispatch
                 for b in group:
                     b = reshape_accum(b, bs)
                     state, metrics = step_fn(
                         state, trainer.shard_batch(b, stacked=accum > 1), key
                     )
-                    after_steps(metrics, 1, bs)
+                    flush_deferred()
+                    defer_steps(metrics, 1, bs)
 
         for batch in train_data(epoch):
             if multi_fn is None:
@@ -180,7 +200,8 @@ def _fit_epochs(trainer, state, train_data, eval_data, cfg, ckpt, key,
                 state, metrics = step_fn(
                     state, trainer.shard_batch(batch, stacked=accum > 1), key
                 )
-                after_steps(metrics, 1, bs)
+                flush_deferred()
+                defer_steps(metrics, 1, bs)
             else:
                 # hybrid sources interleave differently-shaped batches (e.g.
                 # text-only vs V&L) — only structurally identical batches can
@@ -197,6 +218,7 @@ def _fit_epochs(trainer, state, train_data, eval_data, cfg, ckpt, key,
                     dispatch_pending()
         if pending:
             dispatch_pending()
+        flush_deferred()
 
         epoch_metrics = {"train_" + k: v for k, v in acc.means().items()}
 

@@ -226,16 +226,25 @@ class Trainer:
         setattr(self, cache, jitted)
         return jitted
 
-    def multi_step_fn(self, n_steps: int, unroll: int = 1):
+    def multi_step_fn(self, n_steps: int, unroll: int = 1,
+                      device_stack: bool = False):
         """K train steps fused into ONE program via lax.scan over a stacked
         batch [K, B, ...]; returns (state, stacked metrics). Cuts host↔device
         round trips to 1/K — the production inner loop on remote TPUs.
         ``unroll`` duplicates the scan body so the scheduler overlaps step
         i's optimizer write-back with step i+1's prefetches (+2.4% measured
-        at unroll=3 on v5e, plateau beyond — BASELINE.md)."""
+        at unroll=3 on v5e, plateau beyond — BASELINE.md).
+
+        ``device_stack=True`` changes the signature to (state, [K batch
+        dicts], rng): each batch is device_put individually (transfers
+        overlap preceding compute) and the [K, ...] stack happens ON DEVICE
+        inside the jit — the host never materializes the K-batch array.
+        Measured on the 1-core bench host the host-side np.stack of the
+        K-group was a full extra pass over ~630 MB (~75 ms/step at K=8,
+        scripts/e2e_bench.py); device HBM does that copy ~800x faster."""
         inner = self.train_step_fn(nested=True)
 
-        def multi(state, batches, rng):
+        def scan_steps(state, stacked, rng):
             def body(st, batch):
                 # the inner step folds rng by state.step, so passing rng
                 # through unchanged reproduces the per-step dispatch chain
@@ -244,10 +253,21 @@ class Trainer:
                 st, metrics = inner(st, batch, rng)
                 return st, metrics
 
-            return jax.lax.scan(body, state, batches, length=n_steps, unroll=unroll)
+            return jax.lax.scan(body, state, stacked, length=n_steps, unroll=unroll)
+
+        if device_stack:
+            def multi(state, batches, rng):
+                stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+                return scan_steps(state, stacked, rng)
+
+            # batches are NOT donated: XLA cannot alias buffers feeding the
+            # stack (tested — donation emits "not usable" warnings only)
+            donate = (0,)
+        else:
+            multi, donate = scan_steps, (0,)
 
         with self.mesh:
-            return jax.jit(multi, donate_argnums=(0,),
+            return jax.jit(multi, donate_argnums=donate,
                            compiler_options=self.compiler_options())
 
     def eval_step_fn(self):
