@@ -253,16 +253,48 @@ def main():
         print(f"# vqa_eval_qps: {qps:.1f} examples/s/chip", file=sys.stderr)
     except Exception as e:
         print(f"# vqa_eval_qps failed: {type(e).__name__}", file=sys.stderr)
-    print(
-        json.dumps(
+    result = {
+        "metric": "visualbert_base_pretrain_throughput",
+        "value": round(best, 2),
+        "unit": "image-text pairs/sec/chip",
+        "vs_baseline": round(best / BASELINE_PAIRS_PER_SEC, 3),
+    }
+    # End-to-end production-path measurement (VERDICT r3 #2): the real fit
+    # loop (Batcher + prefetch + K-step device-stacked dispatch) over
+    # distinct batches, with the host/wire/device chain itemized. On this
+    # sandbox the ~50 MB/s tunnel binds (a real TPU host's DMA is GB/s);
+    # the itemization keys state which link binds. See scripts/e2e_bench.py
+    # and BASELINE.md "End-to-end throughput".
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "scripts"))
+        import e2e_bench
+
+        ds = e2e_bench.build_dataset(32 * 96)
+        host_rate = e2e_bench.measure_host_only(ds, 96, 0, n_batches=24)
+        wire = e2e_bench.measure_wire(96)
+        wire_rate = wire / (100 * 2048 * 2 + (5 * 128 + 24 + 100 + 2) * 4)
+        e2e, n = e2e_bench.measure_e2e(ds, 96, 8, 0)
+        result.update(
             {
-                "metric": "visualbert_base_pretrain_throughput",
-                "value": round(best, 2),
-                "unit": "image-text pairs/sec/chip",
-                "vs_baseline": round(best / BASELINE_PAIRS_PER_SEC, 3),
+                "e2e_pairs_per_s": round(e2e, 1),
+                "e2e_host_assembly_pairs_per_s": round(host_rate, 1),
+                "e2e_wire_MB_per_s": round(wire / 1e6, 1),
+                "e2e_wire_pairs_per_s_ceiling": round(wire_rate, 1),
+                "e2e_binding_constraint": min(
+                    ("host", host_rate), ("wire", wire_rate),
+                    ("device", best), key=lambda t: t[1],
+                )[0],
             }
         )
-    )
+        print(
+            f"# e2e fit-loop: {e2e:.1f} pairs/s over {n} steps "
+            f"(host {host_rate:.0f}, wire ceiling {wire_rate:.0f}, "
+            f"device {best:.0f})",
+            file=sys.stderr,
+        )
+    except Exception as e:
+        print(f"# e2e bench failed: {type(e).__name__}: {e}", file=sys.stderr)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

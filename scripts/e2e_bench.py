@@ -97,22 +97,28 @@ def measure_host_only(ds, batch_size, num_workers, n_batches=40):
 
 
 def measure_wire(batch_size):
-    """Sustained host->device bandwidth for one batch's feature block, and
-    with two transfers in flight (the double-buffered dispatch pattern)."""
+    """Sustained host->device bandwidth for batch-sized feature blocks.
+    Every probe array is DISTINCT random data and transfers are timed one at
+    a time (put + block_until_ready): the sandbox tunnel compresses RPC
+    payloads (zeros read ~20x too fast), dedups repeated content, and
+    reports multi-transfer pipelines optimistically — the serial pattern is
+    the one that matches the transfer rate observed inside the real fit
+    loop (instrumented dispatch stalls)."""
     import jax
     import ml_dtypes
 
-    x = np.zeros((batch_size, 100, 2048), ml_dtypes.bfloat16)
+    rng = np.random.default_rng(0)
+    xs = [
+        rng.normal(size=(batch_size, 100, 2048)).astype(ml_dtypes.bfloat16)
+        for _ in range(4)
+    ]
     d = jax.devices()[0]
-    jax.device_put(x, d).block_until_ready()
+    jax.device_put(xs[3], d).block_until_ready()  # timed arrays stay unsent
     best = 0.0
-    for _ in range(3):
+    for i in (0, 1, 2):
         t0 = time.perf_counter()
-        a = jax.device_put(x, d)
-        b = jax.device_put(x, d)
-        a.block_until_ready()
-        b.block_until_ready()
-        best = max(best, 2 * x.nbytes / (time.perf_counter() - t0))
+        jax.device_put(xs[i], d).block_until_ready()
+        best = max(best, xs[i].nbytes / (time.perf_counter() - t0))
     return best
 
 
@@ -200,8 +206,10 @@ def main():
         "feature_wire_dtype": "bfloat16",
     }
     if not args.host_only:
+        DEVICE_ONLY = 943.8  # BENCH_r03 headline (erf numerics), pairs/s/chip
         wire = measure_wire(args.batch)
-        bytes_per_pair = 100 * 2048 * 2  # bf16 features dominate
+        # bf16 features dominate; int32 text arrays add ~0.6% (counted)
+        bytes_per_pair = 100 * 2048 * 2 + (5 * 128 + 24 + 100 + 2) * 4
         wire_rate = wire / bytes_per_pair
         print(
             f"# wire: {wire / 1e6:.1f} MB/s -> {wire_rate:.1f} pairs/s ceiling",
@@ -213,10 +221,12 @@ def main():
             {
                 "wire_MB_per_s": round(wire / 1e6, 1),
                 "wire_pairs_per_s_ceiling": round(wire_rate, 1),
+                "device_only_pairs_per_s": DEVICE_ONLY,
                 "e2e_pairs_per_s": round(e2e, 1),
                 "e2e_steps": n,
                 "binding_constraint": min(
-                    ("host", host_rate), ("wire", wire_rate), key=lambda t: t[1]
+                    ("host", host_rate), ("wire", wire_rate),
+                    ("device", DEVICE_ONLY), key=lambda t: t[1],
                 )[0],
             }
         )

@@ -18,7 +18,7 @@ from typing import Dict, List, Optional, Sequence
 import numpy as np
 
 from visualbert_tpu.data.features import FeatureStore
-from visualbert_tpu.data.masking import assemble_pair, compute_answer_scores
+from visualbert_tpu.data.masking import MLM_IGNORE, assemble_pair, compute_answer_scores
 from visualbert_tpu.data.pipeline import pad_regions
 from visualbert_tpu.data.tokenization import BertTokenizer
 
@@ -112,6 +112,15 @@ class VQADataset:
         }
         if self.advanced:
             sample["masked_lm_labels"] = enc.lm_labels
+            # fixed-budget masked-slot index (the answer's [MASK] positions):
+            # lets the model gather the ≤max_answer_tokens slots BEFORE the
+            # 30522-wide decoder matmul ([B, P, H] instead of [B, T, H] —
+            # ~T/P less FLOPs/HBM, identical loss). Pad slots point at
+            # position 0 ([CLS]), whose label is -1 → dropped from the loss.
+            pos = np.flatnonzero(enc.lm_labels != MLM_IGNORE)[: self.max_answer_tokens]
+            positions = np.zeros(self.max_answer_tokens, np.int32)
+            positions[: len(pos)] = pos
+            sample["mlm_positions"] = positions
         if self.with_labels and "answers" in item and not self.advanced:
             counts = np.zeros(len(self.answer_vocab), np.float32)
             for ans in item["answers"]:

@@ -151,9 +151,12 @@ class VisualBertForTask(nn.Module):
                     else jnp.take_along_axis(masked_lm_labels, mlm_positions, axis=1)
                 )
                 # the fused-xent path emits no logits tensor, which
-                # vqa_advanced eval needs for answer decoding — gate on head
+                # vqa_advanced EVAL needs for answer decoding — train steps
+                # (deterministic=False) don't, so they take the fused path
                 fuse_labels = (
-                    gathered_labels if self.head_type == "pretraining" else None
+                    gathered_labels
+                    if (self.head_type == "pretraining" or not deterministic)
+                    else None
                 )
                 mlm_logits, nsp_logits, mlm_nll, mlm_pred = self.cls(
                     gathered, pooled_output, word_emb, labels=fuse_labels

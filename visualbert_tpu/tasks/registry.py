@@ -328,14 +328,20 @@ def run_vqa_advanced(cfg: TaskConfig):
         return out
 
     def dump(collected, folder):
-        # decode the predicted answer tokens at the [MASK] slots
+        # decode the predicted answer tokens at the [MASK] slots; pred_ids
+        # is [B, P] over the GATHERED mlm_positions (the dataset's
+        # fixed-budget slot index — pad slots carry label -1 and drop out)
         preds = []
         for batch, out in collected:
             ids = np.asarray(out["pred_ids"])
             labels = np.asarray(batch["masked_lm_labels"])
+            positions = np.asarray(batch["mlm_positions"])
             for b in range(len(ids)):
-                slots = np.flatnonzero(labels[b] != -1)
-                toks = [inv_vocab.get(int(ids[b, s]), "[UNK]") for s in slots]
+                glabels = labels[b][positions[b]]
+                toks = [
+                    inv_vocab.get(int(ids[b, j]), "[UNK]")
+                    for j in np.flatnonzero(glabels != -1)
+                ]
                 preds.append({
                     "question_id": int(batch["question_id"][b]),
                     "answer": " ".join(toks).replace(" ##", ""),
