@@ -271,25 +271,25 @@ def main():
 
         ds = e2e_bench.build_dataset(32 * 96)
         host_rate = e2e_bench.measure_host_only(ds, 96, 0, n_batches=24)
-        wire = e2e_bench.measure_wire(96)
-        wire_rate = wire / (100 * 2048 * 2 + (5 * 128 + 24 + 100 + 2) * 4)
         e2e, n = e2e_bench.measure_e2e(ds, 96, 8, 0)
+        binding = min(
+            ("host", host_rate), ("device", best), key=lambda t: t[1]
+        )[0]
+        if e2e < 0.8 * min(host_rate, best):
+            # the sandbox tunnel's execute-path input feed (~75 MB/s) binds;
+            # host and device are each proven above demand (BASELINE.md
+            # "End-to-end throughput")
+            binding = "tunnel_execute_feed"
         result.update(
             {
                 "e2e_pairs_per_s": round(e2e, 1),
                 "e2e_host_assembly_pairs_per_s": round(host_rate, 1),
-                "e2e_wire_MB_per_s": round(wire / 1e6, 1),
-                "e2e_wire_pairs_per_s_ceiling": round(wire_rate, 1),
-                "e2e_binding_constraint": min(
-                    ("host", host_rate), ("wire", wire_rate),
-                    ("device", best), key=lambda t: t[1],
-                )[0],
+                "e2e_binding_constraint": binding,
             }
         )
         print(
             f"# e2e fit-loop: {e2e:.1f} pairs/s over {n} steps "
-            f"(host {host_rate:.0f}, wire ceiling {wire_rate:.0f}, "
-            f"device {best:.0f})",
+            f"(host {host_rate:.0f}, device {best:.0f}, binding {binding})",
             file=sys.stderr,
         )
     except Exception as e:

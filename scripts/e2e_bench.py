@@ -35,7 +35,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def build_dataset(n_examples: int, pool: int = 256, seed: int = 0,
-                  feat_dtype="bfloat16"):
+                  feat_dtype="bfloat16", zero_features: bool = False):
     """Synthetic COCO-pretrain dataset at bench shapes, run through the REAL
     CocoCaptionsDataset path (tokenize, 80/10/10 MLM mask, pair assembly,
     region padding). A pool of distinct feature blocks is reused across
@@ -60,8 +60,17 @@ def build_dataset(n_examples: int, pool: int = 256, seed: int = 0,
     rng = np.random.default_rng(seed)
     words = [w for w in tok.vocab if not w.startswith("[")]
     dt = ml_dtypes.bfloat16 if feat_dtype == "bfloat16" else np.float32
+    # zero_features: the control experiment — identical pipeline/compute but
+    # a compressible wire payload. e2e jumping to ~device rate with zeros
+    # proves the residual gap is purely raw wire bytes (the tunnel
+    # compresses RPC payloads), not host assembly or dispatch overheads.
     chunk = {
-        str(i): {"features": rng.normal(size=(100, 2048)).astype(dt)}
+        str(i): {
+            "features": (
+                np.zeros((100, 2048), dt) if zero_features
+                else rng.normal(size=(100, 2048)).astype(dt)
+            )
+        }
         for i in range(pool)
     }
     ann = [
@@ -97,29 +106,27 @@ def measure_host_only(ds, batch_size, num_workers, n_batches=40):
 
 
 def measure_wire(batch_size):
-    """Sustained host->device bandwidth for batch-sized feature blocks.
-    Every probe array is DISTINCT random data and transfers are timed one at
-    a time (put + block_until_ready): the sandbox tunnel compresses RPC
-    payloads (zeros read ~20x too fast), dedups repeated content, and
-    reports multi-transfer pipelines optimistically — the serial pattern is
-    the one that matches the transfer rate observed inside the real fit
-    loop (instrumented dispatch stalls)."""
+    """SUSTAINED host->device bandwidth at one dispatch-group's payload
+    size (8 distinct batch-sized random feature blocks, ~312 MB total,
+    timed together). Probing with a single 39 MB block reads ~20x too fast:
+    the tunnel's client/socket buffering absorbs it and block_until_ready
+    returns at hand-off, not arrival. 312 MB cannot hide in buffers — this
+    probe's rate matches the transfer stalls instrumented inside the real
+    fit loop. Distinct random payloads defeat the tunnel's compression and
+    content dedup (zeros / resent buffers also read ~20x too fast)."""
     import jax
     import ml_dtypes
 
     rng = np.random.default_rng(0)
     xs = [
         rng.normal(size=(batch_size, 100, 2048)).astype(ml_dtypes.bfloat16)
-        for _ in range(4)
+        for _ in range(9)
     ]
     d = jax.devices()[0]
-    jax.device_put(xs[3], d).block_until_ready()  # timed arrays stay unsent
-    best = 0.0
-    for i in (0, 1, 2):
-        t0 = time.perf_counter()
-        jax.device_put(xs[i], d).block_until_ready()
-        best = max(best, xs[i].nbytes / (time.perf_counter() - t0))
-    return best
+    jax.device_put(xs[8], d).block_until_ready()  # timed arrays stay unsent
+    t0 = time.perf_counter()
+    jax.block_until_ready([jax.device_put(x, d) for x in xs[:8]])
+    return 8 * xs[0].nbytes / (time.perf_counter() - t0)
 
 
 def measure_e2e(ds, batch_size, steps_per_dispatch, num_workers, seed=0):
@@ -161,6 +168,26 @@ def measure_e2e(ds, batch_size, steps_per_dispatch, num_workers, seed=0):
     epoch_t0 = {}
     end = [None]
 
+    stats = None
+    if os.environ.get("E2E_DEBUG"):
+        # per-call timing of the device-facing operations in the loop
+        import collections
+
+        stats = collections.defaultdict(list)
+
+        def timed(name, fn):
+            def wrap(*a, **k):
+                t0 = time.perf_counter()
+                r = fn(*a, **k)
+                stats[name].append(time.perf_counter() - t0)
+                return r
+
+            return wrap
+
+        trainer.shard_batch = timed("shard_batch", trainer.shard_batch)
+        _msf = trainer.multi_step_fn
+        trainer.multi_step_fn = lambda *a, **k: timed("dispatch", _msf(*a, **k))
+
     def train_data(epoch):
         epoch_t0[epoch] = time.perf_counter()
 
@@ -177,6 +204,14 @@ def measure_e2e(ds, batch_size, steps_per_dispatch, num_workers, seed=0):
     # epoch-1 wall time: from the epoch-1 iterator being built to fit
     # returning (the final dispatch + deferred-metric flush included)
     dt = time.perf_counter() - epoch_t0[1]
+    if stats is not None:
+        for name, ts in stats.items():
+            ts = np.array(ts)
+            print(
+                f"# E2E_DEBUG {name}: n={len(ts)} total={ts.sum():.2f}s "
+                f"mean={ts.mean()*1e3:.0f}ms max={ts.max()*1e3:.0f}ms",
+                file=sys.stderr,
+            )
     return n_steps * batch_size / dt, n_steps
 
 
@@ -190,13 +225,15 @@ def main():
                     "host loses to GIL thrash with >0, measured)")
     ap.add_argument("--json", default=None, help="write result JSON here")
     ap.add_argument("--host-only", action="store_true")
+    ap.add_argument("--zero-features", action="store_true",
+                    help="compressible-payload control run (see build_dataset)")
     args = ap.parse_args()
 
     from visualbert_tpu.utils.compile_cache import enable_persistent_cache
 
     enable_persistent_cache()
 
-    ds = build_dataset(args.steps * args.batch)
+    ds = build_dataset(args.steps * args.batch, zero_features=args.zero_features)
     host_rate = measure_host_only(ds, args.batch, args.workers)
     print(f"# host-only assembly: {host_rate:.1f} pairs/s", file=sys.stderr)
     out = {
@@ -217,17 +254,32 @@ def main():
         )
         e2e, n = measure_e2e(ds, args.batch, args.dispatch, args.workers)
         print(f"# e2e fit loop: {e2e:.1f} pairs/s over {n} steps", file=sys.stderr)
+        # Binding-constraint attribution. The put probe above measures the
+        # tunnel's STAGING rate only: device_put/block_until_ready returns
+        # at client hand-off, and the actual bytes cross when an execution
+        # first consumes the buffer (measured: executing the K-step program
+        # on fresh input buffers costs ~4-5 s over the 0.86 s device time of
+        # the identical program on resident buffers — ~75 MB/s effective;
+        # payload compressibility, sharding-vs-device puts, put batching and
+        # host GIL contention were each ruled out individually). On a real
+        # TPU host the input feed is local PCIe/DMA at GB/s and the chain is
+        # host -> device only.
+        effective_wire = e2e * bytes_per_pair
+        binding = min(
+            ("host", host_rate), ("wire_staging", wire_rate),
+            ("device", DEVICE_ONLY), key=lambda t: t[1],
+        )[0]
+        if e2e < 0.8 * min(host_rate, wire_rate, DEVICE_ONLY):
+            binding = "tunnel_execute_feed"
         out.update(
             {
-                "wire_MB_per_s": round(wire / 1e6, 1),
-                "wire_pairs_per_s_ceiling": round(wire_rate, 1),
+                "zero_features_control": bool(args.zero_features),
+                "wire_MB_per_s_staging_probe": round(wire / 1e6, 1),
+                "wire_MB_per_s_effective": round(effective_wire / 1e6, 1),
                 "device_only_pairs_per_s": DEVICE_ONLY,
                 "e2e_pairs_per_s": round(e2e, 1),
                 "e2e_steps": n,
-                "binding_constraint": min(
-                    ("host", host_rate), ("wire", wire_rate),
-                    ("device", DEVICE_ONLY), key=lambda t: t[1],
-                )[0],
+                "binding_constraint": binding,
             }
         )
     print(json.dumps(out))

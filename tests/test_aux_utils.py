@@ -328,6 +328,26 @@ def test_fill_collate_matches_sequential():
             np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]), err_msg=k)
 
 
+def test_pad_regions_preserves_bf16():
+    """bf16 feature caches must stay bf16 through region padding (wire bytes
+    halve; the encoder casts to its bf16 compute dtype either way), while
+    fp64/int inputs still normalize to fp32."""
+    import ml_dtypes
+
+    from visualbert_tpu.data.pipeline import pad_regions
+
+    bf = np.arange(12, dtype=np.float32).reshape(3, 4).astype(ml_dtypes.bfloat16)
+    out, mask, _ = pad_regions(bf, 5)
+    assert out.dtype == ml_dtypes.bfloat16 and out.shape == (5, 4)
+    np.testing.assert_array_equal(mask, [1, 1, 1, 0, 0])
+    np.testing.assert_array_equal(out[:3], bf)
+    assert not out[3:].any()
+
+    f64 = np.ones((2, 4), np.float64)
+    out64, _, _ = pad_regions(f64, 3)
+    assert out64.dtype == np.float32
+
+
 @pytest.mark.slow
 def test_time_scan_steps_harness():
     """bench.time_scan_steps: the shared hardware-bench harness runs a fused
