@@ -9,7 +9,8 @@ VMEM footprint shrinks by H/hg. Numerics-checked against production at
 rate 0 before timing (dropout seeds follow the same (b, group) salting, so
 rate>0 draws a different-but-equidistributed mask stream when hg != 12).
 
-Usage: python scripts/attn_hgrid.py [hg ...]   (default: 6 3 2)
+Usage: python scripts/attn_hgrid.py [hg ...]   (default: 6 4 2;
+hg must keep F/GG a 128-multiple - hg=3 (Fg=576) is not expressible)
 """
 
 import functools
@@ -71,7 +72,7 @@ def make_hgrid(hg):
         e = jnp.exp2(t - m2)
         ssum = jnp.sum(e, axis=-1, keepdims=True)
         p = e * pl.reciprocal(ssum, approx=False)
-        stats_ref[0] = (m2 + jnp.log2(ssum))[:, :, 0]
+        stats_ref[0, 0] = (m2 + jnp.log2(ssum))[:, :, 0]
         if rate > 0.0:
             keep = _dropout_keep(
                 seed_ref[0] + b * H + g * hg, (hg, T, T), rate, False
@@ -106,7 +107,7 @@ def make_hgrid(hg):
             for h in range(hg)
         ]
         t = jnp.stack(s_all) * c1 + bias2[None, None, :]
-        m2p = stats_ref[0][:, :, None]  # [hg, T, 1]
+        m2p = stats_ref[0, 0][:, :, None]  # [hg, T, 1]
         p = jnp.exp2(t - m2p)
         if rate > 0.0:
             keep = _dropout_keep(
@@ -159,7 +160,9 @@ def make_hgrid(hg):
 
     in_spec = pl.BlockSpec((1, T, Fg), lambda b, g, *_: (b, 0, g), memory_space=pltpu.VMEM)
     o_spec = pl.BlockSpec((1, T, Og), lambda b, g, *_: (b, 0, g), memory_space=pltpu.VMEM)
-    stats_spec = pl.BlockSpec((1, hg, T), lambda b, g, *_: (b, g, 0), memory_space=pltpu.VMEM)
+    # stats live as [B, GG, hg, T]: the (1, 1, hg, T) block's trailing two
+    # dims EQUAL the array dims, satisfying Mosaic's tiling rule for any hg
+    stats_spec = pl.BlockSpec((1, 1, hg, T), lambda b, g, *_: (b, g, 0, 0), memory_space=pltpu.VMEM)
     qb_spec = pl.BlockSpec((1, Fg), lambda b, g, *_: (0, g), memory_space=pltpu.VMEM)
     bias_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     db_spec = pl.BlockSpec((1, 1, Fg), lambda b, g, *_: (b, 0, g), memory_space=pltpu.VMEM)
@@ -175,7 +178,7 @@ def make_hgrid(hg):
             ),
             out_shape=[
                 jax.ShapeDtypeStruct((B, T, F // 3), qkv.dtype),
-                jax.ShapeDtypeStruct((B, H, T), jnp.float32),
+                jax.ShapeDtypeStruct((B, GG, hg, T), jnp.float32),
             ],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel")
@@ -212,7 +215,7 @@ def main():
     from visualbert_tpu.utils.compile_cache import enable_persistent_cache
 
     enable_persistent_cache()
-    hgs = [int(a) for a in sys.argv[1:]] or [6, 3, 2]
+    hgs = [int(a) for a in sys.argv[1:]] or [6, 4, 2]
     rng = np.random.RandomState(0)
     qkv = jnp.asarray(rng.randn(B, T, F).astype(np.float32) * 0.3).astype(jnp.bfloat16)
     qb = jnp.asarray(rng.randn(F).astype(np.float32) * 0.02).astype(jnp.bfloat16)

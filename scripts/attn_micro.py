@@ -40,6 +40,9 @@ def main():
     qkv = jnp.asarray(rng.randn(B, T, F).astype(np.float32)).astype(jnp.bfloat16)
     bias = jnp.zeros((B, T), jnp.float32)
 
+    # the production step runs under a 32 MB scoped-VMEM budget
+    # (Trainer.compiler_options) — time the kernels under the same
+    CO = {"xla_tpu_scoped_vmem_limit_kib": "32768"}
     which = set(sys.argv[1:])
 
     def want(n):
@@ -65,7 +68,7 @@ def main():
 
             return jax.lax.scan(body, qkv, jnp.arange(K))[1]
 
-        ms = timeit(jax.jit(fwd), qkv)
+        ms = timeit(jax.jit(fwd, compiler_options=CO), qkv)
         print(f"{tag:24s} {ms:7.3f} ms/call", flush=True)
 
     for rate, sp, tag in (
@@ -91,7 +94,7 @@ def main():
 
             return jax.lax.scan(body, qkv, jnp.arange(K))[1]
 
-        ms = timeit(jax.jit(step), qkv)
+        ms = timeit(jax.jit(step, compiler_options=CO), qkv)
         print(f"{tag:24s} {ms:7.3f} ms/call", flush=True)
 
 

@@ -438,13 +438,16 @@ def _packed_fwd_sp_kernel(seed_ref, qkv_ref, bias_ref, o_ref, p_ref,
         o_ref[0, :, h * d:(h + 1) * d] = o.astype(o_ref.dtype)
 
 
-def _packed_bwd_sp_kernel(seed_ref, qkv_ref, p_ref, do_ref, dqkv_ref,
+def _packed_bwd_sp_kernel(seed_ref, qkv_ref, p_ref, do_ref, o_ref, dqkv_ref,
                           *, scale, rate, n_heads, d, interpret=False):
     # as _packed_bwd_kernel but reads the saved pre-dropout probs instead of
-    # recomputing QKᵀ + softmax; same _BWD_GROUP head grouping + seeding
+    # recomputing QKᵀ + softmax; same _BWD_GROUP head grouping + seeding.
+    # δ = Σₖ dPₖ·Pₖ comes from the saved forward OUTPUT (row-wise dO·O), not
+    # a per-head P·V recompute matmul — same identity the stats kernel uses
     b = pl.program_id(0)
     x = qkv_ref[0]
     do_all = do_ref[0]
+    o_all = o_ref[0]
     T = x.shape[0]
 
     for g0 in range(0, n_heads, _BWD_GROUP):
@@ -474,10 +477,7 @@ def _packed_bwd_sp_kernel(seed_ref, qkv_ref, p_ref, do_ref, dqkv_ref,
             dp_all.append(jax.lax.dot_general(
                 do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
             ))
-            o = jax.lax.dot_general(
-                p_d16[j], v, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+            o = o_all[:, h * d:(h + 1) * d].astype(jnp.float32)
             delta_all.append(jnp.sum(do.astype(jnp.float32) * o, axis=-1, keepdims=True))
         dp_d = jnp.stack(dp_all)
         delta = jnp.stack(delta_all)
@@ -539,11 +539,11 @@ def _flash_packed_sp_fwd_impl(qkv, key_bias, rate, n_heads, d, seed):
 
 def _flash_packed_sp_fwd(qkv, key_bias, rate, n_heads, d, seed):
     out, probs = _flash_packed_sp_fwd_impl(qkv, key_bias, rate, n_heads, d, seed)
-    return out, (qkv, probs, seed)
+    return out, (qkv, probs, seed, out)
 
 
 def _flash_packed_sp_bwd(rate, n_heads, d, residuals, do):
-    qkv, probs, seed = residuals
+    qkv, probs, seed, out = residuals
     B, T, F = qkv.shape
     in_spec = pl.BlockSpec((1, T, F), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM)
     do_spec = pl.BlockSpec((1, T, F // 3), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM)
@@ -557,7 +557,7 @@ def _flash_packed_sp_bwd(rate, n_heads, d, residuals, do):
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(B,),
-            in_specs=[in_spec, p_spec, do_spec],
+            in_specs=[in_spec, p_spec, do_spec, do_spec],
             out_specs=in_spec,
         ),
         out_shape=jax.ShapeDtypeStruct((B, T, F), qkv.dtype),
@@ -565,7 +565,7 @@ def _flash_packed_sp_bwd(rate, n_heads, d, residuals, do):
         compiler_params=None if _interpret() else pltpu.CompilerParams(
             dimension_semantics=("parallel",)
         ),
-    )(seed, qkv, probs, do)
+    )(seed, qkv, probs, do, out)
     dseed = np.zeros(seed.shape, dtype=jax.dtypes.float0)
     return dqkv, jnp.zeros((qkv.shape[0], qkv.shape[1]), jnp.float32), dseed
 

@@ -28,8 +28,9 @@ def enable_persistent_cache(path: str | None = None) -> str | None:
 
     try:
         jax.config.update("jax_compilation_cache_dir", path)
-        # don't bother persisting trivial executables
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+        # persist everything over 1s: the test suite's wall time is spread
+        # over many 1-5s XLA-CPU compiles that a 5s threshold left cold
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
     except Exception:  # very old jax without the knobs — cache is best-effort
         return None
     return path
