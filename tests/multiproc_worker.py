@@ -32,6 +32,12 @@ def main():
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    # share the suite's persistent compile cache: the fit program is
+    # identical across runs, and cold XLA-CPU compiles dominate this
+    # test's wall time (concurrent writers are safe — atomic renames)
+    from visualbert_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache("/tmp/visualbert_test_jax_cache")
     if mode == "multi":
         jax.config.update("jax_cpu_collectives_implementation", "gloo")
         jax.distributed.initialize(

@@ -180,3 +180,18 @@ def test_gelu_erf_fast_gradient_accuracy():
     val, vjp = jax.vjp(_gelu_erf_fast, x)
     (gv,) = vjp(jnp.full_like(x, 2.0))
     np.testing.assert_allclose(np.asarray(gv), 2.0 * g_fast, rtol=1e-6, atol=1e-6)
+
+
+def test_compile_cache_first_caller_wins(monkeypatch):
+    # conftest already pointed this process at the test cache dir; a later
+    # in-process caller (e.g. train_cli.main under test_cli) must NOT
+    # re-point it — jax's cache singleton ignores dir changes after first
+    # use, so honoring the original keeps config and reality equal
+    from visualbert_tpu.utils.compile_cache import enable_persistent_cache
+
+    assert enable_persistent_cache("/tmp/somewhere_else") == (
+        "/tmp/visualbert_test_jax_cache"
+    )
+    # explicit opt-out still honored
+    monkeypatch.setenv("VISUALBERT_JAX_CACHE", "0")
+    assert enable_persistent_cache() is None

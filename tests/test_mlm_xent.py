@@ -125,13 +125,22 @@ def test_model_fused_equals_unfused():
     }
     batch = jax.tree.map(jnp.asarray, batch)
 
+    # jit init/apply: eager dispatch of the interpret-mode Pallas xent is
+    # ~10x slower than the jitted program, and jitted compiles persist in
+    # the suite's compilation cache
     model_ref = VisualBertForTask(cfg, head_type="pretraining")
-    params = unbox(model_ref.init({"params": jax.random.PRNGKey(0)}, batch)["params"])
-    out_ref = model_ref.apply({"params": params}, batch, deterministic=True)
+    params = unbox(jax.jit(model_ref.init)(
+        {"params": jax.random.PRNGKey(0)}, batch
+    )["params"])
+    out_ref = jax.jit(
+        lambda p: model_ref.apply({"params": p}, batch, deterministic=True)
+    )(params)
 
     cfg_f = dataclasses.replace(cfg, fused_mlm_xent=True)
     model_f = VisualBertForTask(cfg_f, head_type="pretraining")
-    out_f = model_f.apply({"params": params}, batch, deterministic=True)
+    out_f = jax.jit(
+        lambda p: model_f.apply({"params": p}, batch, deterministic=True)
+    )(params)
 
     np.testing.assert_allclose(
         float(out_f["loss"]), float(out_ref["loss"]), rtol=1e-5

@@ -180,7 +180,8 @@ def test_vcr_coco_pretrain_task(tmp_path):
         "task": "vcr_coco_pretrain",
         "folder": str(tmp_path / "run"),
         "data": {"synthetic": 32, "max_seq_length": 16, "max_boxes": 4,
-                 "trunk_blocks": [1, 1, 1], "layer4_blocks": 1},
+                 "trunk_blocks": [1, 1, 1], "layer4_blocks": 1,
+                 "width_div": 4},
         "model": {"vocab_size": 512, "hidden_size": 32, "num_hidden_layers": 1,
                   "num_attention_heads": 2, "intermediate_size": 64,
                   "max_position_embeddings": 32, "visual_embedding_dim": 512,

@@ -44,7 +44,8 @@ def test_vcr_eval_dump(tmp_path):
         "folder": str(tmp_path / "run"),
         "eval_only": True,
         "data": {"synthetic": 32, "max_seq_length": 16, "max_boxes": 4,
-                 "final_dim": 32},
+                 "final_dim": 32, "trunk_blocks": [1, 1, 1],
+                 "layer4_blocks": 1, "width_div": 4},
         "model": TINY_MODEL,
         "train": {"train_batch_size": 8, "eval_batch_size": 8, "log_every": 0},
     })

@@ -39,17 +39,27 @@ def make_batch(rng, B=2, N=3, T=6, img=32, vocab=128):
 @pytest.mark.slow
 def test_unsup_e2e_forward_and_grads(rng):
     bert = VisualBertConfig.tiny(
-        vocab_size=128, visual_embedding_dim=2048,
+        vocab_size=128, visual_embedding_dim=512,
         hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
     )
+    # width_div=4 shrinks the conv trunk 16x in FLOPs (obj_reps 2048/4=512)
+    # while keeping the exact resnet50 layout; grads-reach-the-trunk is
+    # architecture-independent
     ucfg = UnsupervisedConfig(
-        bert=bert, visual_feat_dim=2048, obj_id_num=81, attr_id_num=4,
+        bert=bert, visual_feat_dim=512, obj_id_num=81, attr_id_num=4,
         symbolic_vocab_size=81 + 4 + 3,
     )
-    model = UnsupervisedEndToEnd(ucfg, class_to_symbolic=tuple(range(81)))
+    model = UnsupervisedEndToEnd(ucfg, class_to_symbolic=tuple(range(81)),
+                                 trunk_blocks=(1, 1, 1), layer4_blocks=1,
+                                 width_div=4)
     batch = jax.tree.map(jnp.asarray, make_batch(np.random.RandomState(0)))
-    params = unbox(model.init({"params": jax.random.PRNGKey(0)}, batch)["params"])
-    out = model.apply({"params": params}, batch)
+    # jit init/apply/grad: un-jitted they execute this graph op-by-op
+    # (thousands of eager dispatches, ~60s total); the jitted compiles land
+    # in the suite's persistent cache so reruns pay a disk read
+    params = unbox(jax.jit(model.init)(
+        {"params": jax.random.PRNGKey(0)}, batch
+    )["params"])
+    out = jax.jit(lambda p: model.apply({"params": p}, batch))(params)
     assert np.isfinite(float(out["loss"]))
     for k in ("masked_lm_loss", "matched_loss", "obj_loss", "feat_loss",
               "masked_tag_loss"):
@@ -58,7 +68,7 @@ def test_unsup_e2e_forward_and_grads(rng):
     def loss_fn(p):
         return model.apply({"params": p}, batch)["loss"]
 
-    g = jax.grad(loss_fn)(params)
+    g = jax.jit(jax.grad(loss_fn))(params)
     # gradients reach the ResNet trunk (end-to-end training works)
     conv_g = g["detector"]["backbone"]["conv1"]["kernel"]
     assert float(jnp.abs(conv_g).sum()) > 0

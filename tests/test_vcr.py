@@ -125,7 +125,8 @@ def test_vcr_end_to_end_train(tok):
     ann, images = vcr_ds.make_synthetic(32, tok)
     ds = vcr_ds.VCRDataset(ann, images, tok, max_seq_length=20, max_boxes=4)
     model = VisualBertDetectorModel(cfg, final_dim=64, num_choices=4,
-                                    trunk_blocks=(1, 1, 1), layer4_blocks=1)
+                                    trunk_blocks=(1, 1, 1), layer4_blocks=1,
+                                    width_div=4)
     trainer = Trainer(
         model=model,
         opt_config=OptimizerConfig(learning_rate=5e-4, schedule=None, t_total=-1),
@@ -165,7 +166,8 @@ def test_vcr_pretrain_dataset(tok):
     )
     model = VisualBertDetectorModel(cfg, head_type="pretraining",
                                     final_dim=64, num_choices=1,
-                                    trunk_blocks=(1, 1, 1), layer4_blocks=1)
+                                    trunk_blocks=(1, 1, 1), layer4_blocks=1,
+                                    width_div=4)
     from visualbert_tpu.data.pipeline import Batcher
 
     batch = next(iter(Batcher(ds, 8, seed=0).epoch(0)))
@@ -173,7 +175,9 @@ def test_vcr_pretrain_dataset(tok):
     import jax.numpy as jnp
 
     jb = {k: jnp.asarray(v) for k, v in batch.items()}
-    v = model.init({"params": jax.random.PRNGKey(0)}, jb)
-    out = model.apply(v, jb)
+    # jit: eager init/apply dispatch this graph op-by-op (seconds); the
+    # jitted compiles persist in the suite's compilation cache
+    v = jax.jit(model.init)({"params": jax.random.PRNGKey(0)}, jb)
+    out = jax.jit(model.apply)(v, jb)
     assert np.isfinite(float(out["loss"]))
     assert "masked_lm_loss" in out

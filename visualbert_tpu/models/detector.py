@@ -117,17 +117,21 @@ class ResNet50Trunk(nn.Module):
 
     dtype: Any = jnp.bfloat16
     blocks: tuple = (3, 4, 6)
+    # channel divisor for tests: 1 = exact resnet50 widths (64/128/256 →
+    # 1024ch out); >1 scales every stage down (same layout, 1/div² FLOPs)
+    width_div: int = 1
 
     @nn.compact
-    def __call__(self, images: Array) -> Array:  # [B, H, W, 3] → [B, H/16, W/16, 1024]
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+    def __call__(self, images: Array) -> Array:  # [B, H, W, 3] → [B, H/16, W/16, 1024/div]
+        d = self.width_div
+        x = nn.Conv(64 // d, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
                     use_bias=False, dtype=self.dtype, name="conv1")(images.astype(self.dtype))
-        x = FrozenBatchNorm(64, self.dtype, name="bn1")(x)
+        x = FrozenBatchNorm(64 // d, self.dtype, name="bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
-        x = ResNetStage(64, self.blocks[0], 1, False, self.dtype, name="layer1")(x)
-        x = ResNetStage(128, self.blocks[1], 2, True, self.dtype, name="layer2")(x)
-        x = ResNetStage(256, self.blocks[2], 2, True, self.dtype, name="layer3")(x)
+        x = ResNetStage(64 // d, self.blocks[0], 1, False, self.dtype, name="layer1")(x)
+        x = ResNetStage(128 // d, self.blocks[1], 2, True, self.dtype, name="layer2")(x)
+        x = ResNetStage(256 // d, self.blocks[2], 2, True, self.dtype, name="layer3")(x)
         return x
 
 
@@ -136,10 +140,12 @@ class ResNet50Layer4(nn.Module):
 
     dtype: Any = jnp.bfloat16
     blocks: int = 3
+    width_div: int = 1
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:  # [N, 7, 7, 1024] → [N, 7, 7, 2048]
-        return ResNetStage(512, self.blocks, 1, True, self.dtype, name="layer4")(x)
+    def __call__(self, x: Array) -> Array:  # [N, 7, 7, 1024/div] → [N, 7, 7, 2048/div]
+        return ResNetStage(512 // self.width_div, self.blocks, 1, True,
+                           self.dtype, name="layer4")(x)
 
 
 class SimpleDetector(nn.Module):
@@ -155,6 +161,8 @@ class SimpleDetector(nn.Module):
     # default = resnet50 (the reference backbone)
     trunk_blocks: tuple = (3, 4, 6)
     layer4_blocks: int = 3
+    # channel divisor (tests only; 1 = exact resnet50 widths)
+    width_div: int = 1
 
     @nn.compact
     def __call__(
@@ -167,7 +175,8 @@ class SimpleDetector(nn.Module):
         deterministic: bool = True,
     ):
         B, N = boxes.shape[:2]
-        fm = ResNet50Trunk(self.dtype, self.trunk_blocks, name="backbone")(images)
+        fm = ResNet50Trunk(self.dtype, self.trunk_blocks, self.width_div,
+                           name="backbone")(images)
         # sampling_ratio=0 = torchvision's adaptive quadrature (detector.py:71-73)
         roi = roi_align(fm, boxes, out_size=7, sampling_ratio=0, spatial_scale=1 / 16)
         roi = roi.reshape(B * N, 7, 7, fm.shape[-1])
@@ -179,7 +188,8 @@ class SimpleDetector(nn.Module):
                         name="mask_upsample")(m)
             roi = roi.at[..., : self.mask_dims].add(m)
 
-        post = ResNet50Layer4(self.dtype, self.layer4_blocks, name="after_roi_align")(roi)
+        post = ResNet50Layer4(self.dtype, self.layer4_blocks, self.width_div,
+                              name="after_roi_align")(roi)
         post = post.mean(axis=(1, 2))  # [B*N, 2048] global average pool
 
         obj_logits = nn.Dense(self.num_classes, dtype=self.dtype,

@@ -47,12 +47,20 @@ class UnsupervisedEndToEnd(nn.Module):
     config: UnsupervisedConfig
     class_to_symbolic: Tuple[int, ...] = ()  # detector class id → symbolic id
     train_detector: bool = True
+    # backbone shrink knobs (tests; defaults = exact resnet50). With
+    # width_div > 1 obj_reps_raw is 2048/div-d — set visual_feat_dim to match
+    trunk_blocks: Tuple[int, int, int] = (3, 4, 6)
+    layer4_blocks: int = 3
+    width_div: int = 1
 
     def setup(self):
         self.detector = SimpleDetector(
             final_dim=512,  # unused head; we read obj_reps_raw
             semantic=False,
             dtype=self.config.bert.dtype,
+            trunk_blocks=self.trunk_blocks,
+            layer4_blocks=self.layer4_blocks,
+            width_div=self.width_div,
             name="detector",
         )
         self.trunk = UnsupervisedVisualBert(self.config, name="trunk")

@@ -43,6 +43,7 @@ class VisualBertDetectorModel(nn.Module):
     # backbone depth (resnet50 default; tests use shallow trunks)
     trunk_blocks: tuple = (3, 4, 6)
     layer4_blocks: int = 3
+    width_div: int = 1
 
     def setup(self):
         self.detector = SimpleDetector(
@@ -50,6 +51,7 @@ class VisualBertDetectorModel(nn.Module):
             dtype=self.config.dtype,
             trunk_blocks=self.trunk_blocks,
             layer4_blocks=self.layer4_blocks,
+            width_div=self.width_div,
             name="detector",
         )
         self.bert_objective = VisualBertForTask(

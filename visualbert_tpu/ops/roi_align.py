@@ -124,6 +124,17 @@ def roi_align(
     B, H, W, C = features.shape
     N = boxes.shape[1]
     S = max_samples if sampling_ratio <= 0 else sampling_ratio
+    if sampling_ratio <= 0:
+        # shape-derived tightening of the static lattice: an in-image RoI is
+        # at most (H, W) feature cells, so its adaptive per-axis tap count
+        # ceil(roi/out_size) never exceeds ceil(fm_dim/out_size) — gathering
+        # the full max_samples lattice would fetch taps whose quadrature
+        # weight is provably zero (a 64x reduction in gather traffic when
+        # fm << out_size·max_samples, e.g. small eval crops; 2.6x at the
+        # VCR-production 512² → 32² fm). Boxes beyond the image (reference
+        # dataloaders pre-clip, utils/detector.py) keep exactness up to this
+        # bound instead of max_samples.
+        S = min(S, max(1, -(-H // out_size), -(-W // out_size)))
     P = out_size * S
 
     def per_image(fm, bx):

@@ -441,6 +441,7 @@ def run_vcr_coco_pretrain(cfg: TaskConfig):
         cnn_loss_ratio=float(d.get("cnn_loss_ratio", 0.1)),
         trunk_blocks=tuple(d.get("trunk_blocks", (3, 4, 6))),
         layer4_blocks=int(d.get("layer4_blocks", 3)),
+        width_div=int(d.get("width_div", 1)),
     )
     cfg = _default_frozen_pooler(cfg)
     trainer = _trainer(cfg, model)
@@ -678,6 +679,7 @@ def run_vcr(cfg: TaskConfig):
         cnn_loss_ratio=float(d.get("cnn_loss_ratio", 0.1)),
         trunk_blocks=tuple(d.get("trunk_blocks", (3, 4, 6))),
         layer4_blocks=int(d.get("layer4_blocks", 3)),
+        width_div=int(d.get("width_div", 1)),
     )
     trainer = _trainer(cfg, model)
 

@@ -26,6 +26,13 @@ def enable_persistent_cache(path: str | None = None) -> str | None:
     path = path or env or DEFAULT_DIR
     import jax
 
+    # first caller wins: once a run has a cache dir (e.g. the test
+    # conftest's), an in-process CLI invocation must not re-point it —
+    # jax's cache singleton would ignore the change after first use
+    # anyway, so honoring the original dir keeps config and reality equal
+    current = getattr(jax.config, "jax_compilation_cache_dir", None)
+    if current:
+        return current
     try:
         jax.config.update("jax_compilation_cache_dir", path)
         # persist everything over 1s: the test suite's wall time is spread
