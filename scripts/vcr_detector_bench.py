@@ -1,7 +1,8 @@
 """VCR detector-path train-step throughput on one TPU chip: full ResNet50
 trunk + RoIAlign + bert-base over 4 answer choices at 512x512 images (the
 reference's configs/vcr/fine-tune-qa.json pipeline, detector in the graph).
-Measured: ~43 examples/s/chip on v5e (2026-08; compile ~90 s over the
+Measured: 64.8 examples/s/chip on v5e (2026-08-19, shape-derived RoIAlign
+tap cap — was 43 at the blanket 8-tap lattice; compile 90-460 s over the
 remote tunnel). Usage: python scripts/vcr_detector_bench.py"""
 import sys, time
 sys.path.insert(0, ".")
