@@ -1,19 +1,28 @@
-"""VCR detector-path train-step throughput on one TPU chip: full ResNet50
-trunk + RoIAlign + bert-base over 4 answer choices at 512x512 images (the
-reference's configs/vcr/fine-tune-qa.json pipeline, detector in the graph).
-Measured: 153.0 examples/s/chip on v5e (2026-08-19, matmul-formulation
-RoIAlign — was 64.8 at the gather formulation with the shape-derived tap
-cap, 43 at the blanket 8-tap gather lattice; compile 90-460 s over the
-remote tunnel). Usage: python scripts/vcr_detector_bench.py"""
+"""Per-op profile of the VCR detector-path train step (same config as
+scripts/vcr_detector_bench.py): capture a jax.profiler trace of the K-step
+scan and bucket device time with xplane_op_summary.
+
+2026-08-19 finding (gather RoIAlign, 64.8 ex/s operating point): ~2/3 of
+device time was RoIAlign — [8,20,1225,1024] tap-tensor fusions/reshapes
+(~300 ms of 810 ms per K=4 trace) plus [8192,1024] feature-map backward
+scatter fusions (~240 ms). Motivated the matmul reformulation
+(ops/roi_align.py, implementation="matmul"), which took the bench to
+153.0 ex/s.
+
+Usage: python scripts/vcr_detector_profile.py [logdir]
+"""
 import sys, time
 sys.path.insert(0, ".")
 import numpy as np
-import jax, jax.numpy as jnp
+import jax
+
 from visualbert_tpu.config import OptimizerConfig, TrainConfig, VisualBertConfig
 from visualbert_tpu.models.vcr import VisualBertDetectorModel
 from visualbert_tpu.parallel.mesh import create_mesh
 from visualbert_tpu.train.trainer import Trainer
+from visualbert_tpu.utils.profiling import xplane_op_summary
 
+LOGDIR = sys.argv[1] if len(sys.argv) > 1 else "/tmp/vcr_trace"
 B, NC, T, NB, IMG = 8, 4, 128, 20, 512
 cfg = VisualBertConfig.base(use_flash_attention=True, scan_layers=False,
                             hidden_act="gelu_tanh", fast_dropout=True,
@@ -36,10 +45,15 @@ trainer = Trainer(model=model,
                   opt_config=OptimizerConfig(learning_rate=2e-5, schedule=None, t_total=-1),
                   train_config=TrainConfig(), mesh=create_mesh((1, 1)))
 state = trainer.init_state(jax.random.PRNGKey(0), batch)
-import time as _t
-t0 = _t.perf_counter()
 from bench import time_scan_steps
-best, state = time_scan_steps(trainer, state, batch, K=4, unroll=2)
-print(f"VCR detector-path train: {best:.1f} examples/s/chip "
-      f"(B={B}, img {IMG}^2, resnet50+bert-base x4 choices; "
-      f"first call incl. compile {_t.perf_counter()-t0:.0f}s)")
+# warm/compile outside the trace
+best, state = time_scan_steps(trainer, state, batch, K=4, unroll=2, repeats=1)
+print(f"warm: {best:.1f} examples/s/chip")
+with jax.profiler.trace(LOGDIR):
+    best, state = time_scan_steps(trainer, state, batch, K=4, unroll=2, repeats=1)
+print(f"traced: {best:.1f} examples/s/chip")
+rows = xplane_op_summary(LOGDIR, top_n=45)
+total = sum(ms for _, ms, _ in rows)
+print(f"top-45 groups total {total:.1f} ms (K=4 steps)")
+for k, ms, n in rows:
+    print(f"{ms:8.2f} ms {n:6d}  {k[:100]}")

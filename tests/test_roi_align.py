@@ -98,6 +98,36 @@ def test_detector_forward(rng):
     assert np.isfinite(np.asarray(out["obj_reps"])).all()
 
 
+def test_matmul_matches_gather(rng):
+    """The MXU-contraction formulation is numerically equivalent to the
+    dynamic-gather formulation (values and feature gradients), including
+    border-clamped boxes and adaptive tap counts."""
+    H, W, C, N = 16, 20, 5, 7
+    fm = rng.randn(2, H, W, C).astype(np.float32)
+    boxes = np.zeros((2, N, 4), np.float32)
+    for b in range(2):
+        for n in range(N - 1):
+            x1 = rng.uniform(-10, W * 16 - 20)  # include out-of-image edges
+            y1 = rng.uniform(-10, H * 16 - 20)
+            boxes[b, n] = [x1, y1, x1 + rng.uniform(5, 320), y1 + rng.uniform(5, 320)]
+        boxes[b, N - 1] = [0, 0, W * 16 - 1, H * 16 - 1]  # full-image box
+    for ratio in (0, 2):
+        out_m = roi_align(jnp.asarray(fm), jnp.asarray(boxes), 7, ratio, 1 / 16,
+                          implementation="matmul")
+        out_g = roi_align(jnp.asarray(fm), jnp.asarray(boxes), 7, ratio, 1 / 16,
+                          implementation="gather")
+        np.testing.assert_allclose(np.asarray(out_m), np.asarray(out_g),
+                                   atol=1e-4, rtol=1e-4)
+
+    def loss(fm, impl):
+        return (roi_align(fm, jnp.asarray(boxes), 7, 0, 1 / 16,
+                          implementation=impl) ** 2).sum()
+
+    g_m = jax.grad(lambda f: loss(f, "matmul"))(jnp.asarray(fm))
+    g_g = jax.grad(lambda f: loss(f, "gather"))(jnp.asarray(fm))
+    np.testing.assert_allclose(np.asarray(g_m), np.asarray(g_g), atol=1e-3, rtol=1e-3)
+
+
 # ---- adaptive sampling_ratio=0 vs a torch transcription of the torchvision
 # CPU kernel (cpu/roi_align_kernel.cpp semantics: per-bin grid =
 # ceil(roi_size/pooled_size), average of bilinear taps, aligned=False) -----

@@ -17,10 +17,21 @@ rewrite:
     ``ceil(bin) <= max_samples`` (larger boxes clamp to ``max_samples`` taps —
     at 1/16 scale that means images beyond ``16·7·max_samples`` px per side).
     A positive ``sampling_ratio`` gives torchvision's fixed-grid behavior.
-  * Implementation is XLA gather-based (bilinear taps are data-dependent
-    addresses; XLA lowers them to dynamic-gathers). This op runs once per
-    image on the VCR path — not the training hot loop — so no hand-written
-    kernel is warranted; revisit if a profile ever says otherwise.
+  * **Matmul formulation (default)**: separable bilinear interpolation means
+    a tap at clamped coordinate ``p`` contributes ``relu(1 - |p - h|)`` to
+    feature-grid cell ``h`` — exactly the two-neighbour lerp (including the
+    border clamp, where the triangle collapses to weight 1 on the edge cell).
+    Folding the per-tap quadrature weights in gives ONE per-box interpolation
+    matrix per axis, ``M[out, H] = Σ_taps w_tap · relu(1 - |p(out,tap) - h|)``,
+    and RoIAlign becomes two dense contractions ``M_y · fm · M_xᵀ`` that run
+    on the MXU and never materialize the tap lattice. A K=4-step xplane
+    profile of the VCR detector path (``scripts/vcr_detector_profile.py``)
+    showed the gather formulation's ``[B, N, (out·S)², C]`` tap tensors and
+    their backward scatter eating ~⅔ of device time; the matmul form reads
+    the feature map once and its backward is ``M_yᵀ · dOut · M_x`` — more
+    dense matmuls, no scatter.
+  * The original gather implementation (bilinear taps as dynamic-gather
+    addresses) is kept as ``implementation="gather"`` for cross-checks.
 
 Coordinates follow torchvision ``aligned=False`` legacy semantics (no -0.5
 pixel offset), matching the version the reference pinned.
@@ -107,7 +118,21 @@ def _grid(boxes: Array, out_size: int, S: int, sampling_ratio: int, scale: float
     )
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def _interp_matrix(p: Array, w: Array, size: int) -> Array:
+    """Per-box folded bilinear+quadrature matrix along one axis.
+
+    p: [N, out, S] tap coordinates (feature-grid units); w: [N, S] per-tap
+    quadrature weights (0 beyond the adaptive count). Returns [N, out, size]
+    where row (n, i) carries each grid cell's total weight for output bin i:
+    ``Σ_taps w · max(0, 1 - |clip(p, 0, size-1) - cell|)`` — identical to the
+    gather path's clamp + two-neighbour lerp summed over taps."""
+    p = jnp.clip(p, 0.0, size - 1.0)
+    g = jnp.arange(size, dtype=p.dtype)
+    tri = jnp.maximum(0.0, 1.0 - jnp.abs(p[..., None] - g))  # [N, out, S, size]
+    return (tri * w[:, None, :, None]).sum(axis=2)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
 def roi_align(
     features: Array,       # [B, H, W, C] (NHWC)
     boxes: Array,          # [B, N, 4] (x1,y1,x2,y2) image pixels
@@ -115,12 +140,17 @@ def roi_align(
     sampling_ratio: int = 0,
     spatial_scale: float = 1.0 / 16,
     max_samples: int = 8,
+    implementation: str = "matmul",
 ) -> Array:
     """Returns [B, N, out_size, out_size, C].
 
     ``sampling_ratio=0`` (default) = torchvision's adaptive quadrature,
     exact for boxes whose bins need ≤ ``max_samples`` taps per axis.
+    ``implementation``: "matmul" (default; MXU contractions, no tap tensor)
+    or "gather" (dynamic-gather taps) — numerically equivalent.
     """
+    if implementation not in ("matmul", "gather"):
+        raise ValueError(f"implementation must be 'matmul' or 'gather', got {implementation!r}")
     B, H, W, C = features.shape
     N = boxes.shape[1]
     S = max_samples if sampling_ratio <= 0 else sampling_ratio
@@ -137,7 +167,7 @@ def roi_align(
         S = min(S, max(1, -(-H // out_size), -(-W // out_size)))
     P = out_size * S
 
-    def per_image(fm, bx):
+    def per_image_gather(fm, bx):
         ys, xs, w_h, w_w = _grid(
             bx.astype(jnp.float32), out_size, S, sampling_ratio, spatial_scale
         )
@@ -150,4 +180,18 @@ def roi_align(
         w = w_h[:, None, :, None, None, None] * w_w[:, None, None, None, :, None]
         return (samples * w.astype(samples.dtype)).sum(axis=(2, 4))
 
+    def per_image_matmul(fm, bx):
+        ys, xs, w_h, w_w = _grid(
+            bx.astype(jnp.float32), out_size, S, sampling_ratio, spatial_scale
+        )
+        m_y = _interp_matrix(ys.reshape(N, out_size, S), w_h, H)  # [N, out, H]
+        m_x = _interp_matrix(xs.reshape(N, out_size, S), w_w, W)  # [N, out, W]
+        # fm promotes to f32 alongside the weight matrices; on TPU the
+        # default-precision matmul truncates operands to bf16 per pass with
+        # f32 accumulation — the same effective numerics as the gather path
+        # (bf16 feature reads, f32 weight multiply-accumulate).
+        t = jnp.einsum("nih,hwc->niwc", m_y, fm)          # contract rows
+        return jnp.einsum("nkw,niwc->nikc", m_x, t)       # contract cols
+
+    per_image = per_image_matmul if implementation == "matmul" else per_image_gather
     return jax.vmap(per_image)(features, boxes)
