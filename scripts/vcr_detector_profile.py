@@ -9,6 +9,15 @@ scatter fusions (~240 ms). Motivated the matmul reformulation
 (ops/roi_align.py, implementation="matmul"), which took the bench to
 153.0 ex/s.
 
+Post-change profile (153 ex/s): top bucket is now 844 tuple-output dW
+fusions (f32[] sumsq epilogue + bf16 dW) at ~17.5 ms/step — these are the
+weight-gradient convolutions themselves, individually at/near the matmul
+roofline (3x3x512x512 dW over the 160 box crops: 0.20 ms/step vs 0.21
+pure-FLOPs). Only outlier: the 7x7x3 stem's dW (0.77 ms/step, ~13x floor —
+3 input channels pad to 128 lanes). A space-to-depth stem would reclaim
+~2 ms/step (~4%) but changes the conv weight shape, breaking torch
+import/export parity — deliberately not taken.
+
 Usage: python scripts/vcr_detector_profile.py [logdir]
 """
 import sys, time
