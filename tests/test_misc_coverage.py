@@ -195,3 +195,38 @@ def test_compile_cache_first_caller_wins(monkeypatch):
     # explicit opt-out still honored
     monkeypatch.setenv("VISUALBERT_JAX_CACHE", "0")
     assert enable_persistent_cache() is None
+
+
+def test_real_data_config_requires_vocab_file():
+    """A real-data config (no data.synthetic) without data.vocab_file must
+    fail loudly instead of silently training over the 106-word toy vocabulary
+    (same philosophy as run_unsup_pretrain's answer-table guard; the
+    reference always loads a real vocab, tokenization.py:126)."""
+    from visualbert_tpu.tasks.registry import _tokenizer
+    from visualbert_tpu.utils.config_io import parse_task_config
+
+    cfg = parse_task_config({
+        "task": "vqa",
+        "folder": "/tmp/never-created",
+        "data": {"annotations": "/nonexistent/train.json"},
+        "model": {"vocab_size": 512, "hidden_size": 32,
+                  "num_hidden_layers": 1, "num_attention_heads": 2,
+                  "intermediate_size": 64},
+        "optimizer": {"learning_rate": 1e-4},
+        "train": {"train_batch_size": 2},
+    })
+    with pytest.raises(ValueError, match="vocab_file is required"):
+        _tokenizer(cfg)
+
+    # synthetic configs keep the toy-vocabulary fallback
+    cfg_syn = parse_task_config({
+        "task": "vqa",
+        "folder": "/tmp/never-created",
+        "data": {"synthetic": 4},
+        "model": {"vocab_size": 512, "hidden_size": 32,
+                  "num_hidden_layers": 1, "num_attention_heads": 2,
+                  "intermediate_size": 64},
+        "optimizer": {"learning_rate": 1e-4},
+        "train": {"train_batch_size": 2},
+    })
+    assert _tokenizer(cfg_syn) is not None

@@ -177,6 +177,13 @@ class SimpleDetector(nn.Module):
         B, N = boxes.shape[:2]
         fm = ResNet50Trunk(self.dtype, self.trunk_blocks, self.width_div,
                            name="backbone")(images)
+        # enforce the in-image assumption roi_align's exactness bound relies
+        # on (reference dataloaders assert it, dataloaders/vcr.py:375-380):
+        # clip boxes to the image so every RoI fits the feature map
+        img_h, img_w = images.shape[1], images.shape[2]
+        lim = jnp.asarray([img_w - 1, img_h - 1, img_w - 1, img_h - 1],
+                          dtype=boxes.dtype)
+        boxes = jnp.clip(boxes, 0, lim)
         # sampling_ratio=0 = torchvision's adaptive quadrature (detector.py:71-73)
         roi = roi_align(fm, boxes, out_size=7, sampling_ratio=0, spatial_scale=1 / 16)
         roi = roi.reshape(B * N, 7, 7, fm.shape[-1])

@@ -11,12 +11,19 @@ rewrite:
   * **Adaptive sampling with a static grid**: torchvision's
     ``sampling_ratio=0`` samples each bin with ``ceil(bin_size)`` bilinear
     taps per axis — a data-dependent count. Here every bin gets a static
-    ``max_samples`` × ``max_samples`` lattice whose spacing is computed from
-    the per-box adaptive count and whose out-of-count taps carry zero weight,
-    so the quadrature matches torchvision exactly for every box with
-    ``ceil(bin) <= max_samples`` (larger boxes clamp to ``max_samples`` taps —
-    at 1/16 scale that means images beyond ``16·7·max_samples`` px per side).
-    A positive ``sampling_ratio`` gives torchvision's fixed-grid behavior.
+    ``S`` × ``S`` lattice whose spacing is computed from the per-box adaptive
+    count and whose out-of-count taps carry zero weight, with
+    ``S = min(max_samples, max(ceil(H/out), ceil(W/out)))`` (the shape-derived
+    cap: an *in-image* RoI never needs more taps than the whole feature map
+    would). The quadrature therefore matches torchvision exactly for every
+    box inside the feature map (assuming ``max_samples ≥ ceil(fm/out)``,
+    true at every production shape here); boxes extending BEYOND the feature
+    map may need ``ceil(bin) > S`` taps and then clamp to a coarser lattice
+    than torchvision's. Reference dataloaders pre-clip/assert boxes to image
+    bounds (``dataloaders/vcr.py:375-380``) and ``SimpleDetector`` clips them
+    in-graph before calling this op, so the in-image assumption is enforced,
+    not assumed. A positive ``sampling_ratio`` gives torchvision's
+    fixed-grid behavior.
   * **Matmul formulation (default)**: separable bilinear interpolation means
     a tap at clamped coordinate ``p`` contributes ``relu(1 - |p - h|)`` to
     feature-grid cell ``h`` — exactly the two-neighbour lerp (including the
@@ -142,10 +149,13 @@ def roi_align(
     max_samples: int = 8,
     implementation: str = "matmul",
 ) -> Array:
-    """Returns [B, N, out_size, out_size, C].
+    """Returns [B, N, out_size, out_size, C] in ``features.dtype``.
 
     ``sampling_ratio=0`` (default) = torchvision's adaptive quadrature,
-    exact for boxes whose bins need ≤ ``max_samples`` taps per axis.
+    exact for every box inside the feature map whose bins need ≤
+    ``max_samples`` taps per axis (the effective per-axis tap budget is
+    ``min(max_samples, max(ceil(H/out), ceil(W/out)))`` — see module
+    docstring; boxes beyond the feature map may sample coarser).
     ``implementation``: "matmul" (default; MXU contractions, no tap tensor)
     or "gather" (dynamic-gather taps) — numerically equivalent.
     """
@@ -194,4 +204,7 @@ def roi_align(
         return jnp.einsum("nkw,niwc->nikc", m_x, t)       # contract cols
 
     per_image = per_image_matmul if implementation == "matmul" else per_image_gather
-    return jax.vmap(per_image)(features, boxes)
+    # both paths promote through the f32 interpolation weights; cast back so
+    # the op contract (output dtype == features.dtype) holds for either
+    # implementation and bf16 production rois don't double in memory
+    return jax.vmap(per_image)(features, boxes).astype(features.dtype)

@@ -36,6 +36,24 @@ def entity_region_attention(
     return rows[..., text_len : text_len + n_regions]
 
 
+def entity_region_attention_device(
+    attn_probs, flickr_position, text_len: int, n_regions: int
+):
+    """jnp version of :func:`entity_region_attention` meant to run INSIDE the
+    jitted probe step, so only the [L, B, H, E, R] entity→region block ships
+    to host instead of the full [L, B, H, T, T] tensor (~T²/(E·R)-fold fewer
+    transfer bytes; ~1 GB per 32-batch at production Flickr shapes).
+
+    Same trick the vqa_advanced head uses to gather [MASK] slots before its
+    30522-wide decoder."""
+    import jax.numpy as jnp
+
+    safe = jnp.maximum(flickr_position, 0)          # [B, E]
+    idx = safe[None, :, None, :, None]              # [1, B, 1, E, 1]
+    rows = jnp.take_along_axis(attn_probs, idx, axis=3)  # [L, B, H, E, T]
+    return rows[..., text_len : text_len + n_regions]
+
+
 def grounding_counts_by_layer(
     attn_probs: np.ndarray,
     flickr_position: np.ndarray,
@@ -49,6 +67,17 @@ def grounding_counts_by_layer(
     ``row_mask`` excludes tail-pad duplicate examples (example_weight)."""
     n_regions = label.shape[-1]
     era = entity_region_attention(attn_probs, flickr_position, text_len, n_regions)
+    return grounding_counts_from_era(era, flickr_position, label, row_mask)
+
+
+def grounding_counts_from_era(
+    era: np.ndarray,              # [L, B, H, E, R] pre-gathered attention
+    flickr_position: np.ndarray,  # [B, E]
+    label: np.ndarray,            # [B, E, n_regions]
+    row_mask: np.ndarray = None,
+) -> "tuple[np.ndarray, int]":
+    """Counts from an already-gathered entity→region attention block (e.g.
+    produced on device by :func:`entity_region_attention_device`)."""
     mean_heads = era.mean(axis=2)  # [L, B, E, R]
     valid = flickr_position >= 0   # [B, E]
     if row_mask is not None:

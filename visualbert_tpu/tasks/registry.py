@@ -49,6 +49,16 @@ def _tokenizer(cfg: TaskConfig) -> BertTokenizer:
         from visualbert_tpu.data.tokenization import load_vocab
 
         return FastBertTokenizer(load_vocab(vocab_file))
+    if "synthetic" not in cfg.data:
+        # real-data configs must name a vocabulary — training over the toy
+        # fallback would silently produce garbage (same philosophy as the
+        # answer-table guard in run_unsup_pretrain; the reference always
+        # loads a real vocab via from_pretrained, tokenization.py:126)
+        raise ValueError(
+            "data.vocab_file is required for real-data configs (the "
+            "synthetic toy vocabulary is only used when data.synthetic is "
+            "set); point it at the bert-base-uncased vocab.txt"
+        )
     # synthetic fallback vocabulary
     words = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]", "?"] + [
         f"w{i}" for i in range(100)
@@ -568,7 +578,10 @@ def run_flickr_probe(cfg: TaskConfig):
     Writes ``<folder>/flickr_probe.json`` = {"layer_0": acc, ...} and reports
     the best layer's accuracy as the task metric."""
     from visualbert_tpu.data.datasets import flickr as flickr_ds
-    from visualbert_tpu.tasks.probing import grounding_counts_by_layer
+    from visualbert_tpu.tasks.probing import (
+        entity_region_attention_device,
+        grounding_counts_from_era,
+    )
     from visualbert_tpu.train.loop import FitResult
 
     tok = _tokenizer(cfg)
@@ -600,26 +613,34 @@ def run_flickr_probe(cfg: TaskConfig):
     if cfg.restore_checkpoint:
         state = _restore(cfg, trainer, state)
 
+    text_len = ds.max_seq_length
+    n_regions = ds.max_regions
+
     def probe_step(params, batch):
         out = trainer.model.apply(
             {"params": params}, batch,
             deterministic=True, output_attention_probs=True,
         )
-        return out["attention_weights"]  # [L, B, H, T, T]
+        # gather the entity rows of the text→region block ON DEVICE so only
+        # [L, B, H, E, R] crosses the wire, not the full [L, B, H, T, T]
+        # attention (~30 MB/example fp32 at production shapes)
+        return entity_region_attention_device(
+            out["attention_weights"], batch["flickr_position"],
+            text_len, n_regions,
+        )
 
     with trainer.mesh:
         probe_fn = jax.jit(probe_step)
 
     hits, total = None, 0
-    text_len = ds.max_seq_length
     for batch in eval_b.epoch(0):
-        attn = np.asarray(
+        era = np.asarray(
             jax.device_get(probe_fn(state.params, trainer.shard_batch(batch))),
             np.float32,
         )
         w = batch.get("example_weight")
-        h, t = grounding_counts_by_layer(
-            attn, batch["flickr_position"], batch["label"], text_len,
+        h, t = grounding_counts_from_era(
+            era, batch["flickr_position"], batch["label"],
             row_mask=None if w is None else w > 0,
         )
         hits = h if hits is None else hits + h

@@ -32,6 +32,15 @@ def enable_persistent_cache(path: str | None = None) -> str | None:
     # anyway, so honoring the original dir keeps config and reality equal
     current = getattr(jax.config, "jax_compilation_cache_dir", None)
     if current:
+        if current != path:
+            import warnings
+
+            warnings.warn(
+                f"compilation cache already configured at {current!r}; "
+                f"ignoring requested redirect to {path!r} (first caller wins "
+                "— jax's cache singleton would not re-point after first use)",
+                stacklevel=2,
+            )
         return current
     try:
         jax.config.update("jax_compilation_cache_dir", path)
