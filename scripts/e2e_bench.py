@@ -88,21 +88,86 @@ def build_dataset(n_examples: int, pool: int = 256, seed: int = 0,
     )
 
 
-def measure_host_only(ds, batch_size, num_workers, n_batches=40):
+def measure_host_only(ds, batch_size, num_workers, n_batches=40,
+                      worker_mode="thread"):
     """Pure host pipeline rate: Batcher + prefetch, batches discarded."""
     from visualbert_tpu.data.pipeline import Batcher, prefetch
 
-    b = Batcher(ds, batch_size, seed=0, num_workers=num_workers)
-    it = prefetch(b.epoch(0), size=2)
-    next(it)  # warm (thread pool, first buffers)
-    t0 = time.perf_counter()
-    n = 0
-    for batch in it:
-        n += 1
-        if n >= n_batches:
-            break
-    dt = time.perf_counter() - t0
+    b = Batcher(ds, batch_size, seed=0, num_workers=num_workers,
+                worker_mode=worker_mode)
+    try:
+        it = prefetch(b.epoch(0), size=2)
+        next(it)  # warm (worker pool, first buffers)
+        t0 = time.perf_counter()
+        n = 0
+        for batch in it:
+            n += 1
+            if n >= n_batches:
+                break
+        dt = time.perf_counter() - t0
+    finally:
+        b.close()
     return n * batch_size / dt
+
+
+def assembly_sweep(ds, batch_size, demand_per_chip=943.4, chips_per_host=8):
+    """VERDICT r4 item 1: Batcher assembly throughput vs worker count and
+    worker mode, against the v5e-8 per-host demand line (one host feeds
+    ``chips_per_host`` chips). Thread workers share the GIL — fine when the
+    per-sample hot work releases it, but Python-level assembly serializes;
+    the forked shared-memory fill path ('process') removes the GIL from the
+    scaling equation entirely. On a multi-core pod host, process workers
+    scale with cores; this sandbox exposes ONE core, so the table measures
+    per-core rate + per-mode overhead, and the cores_needed model states
+    what a pod host requires."""
+    import os
+
+    demand = demand_per_chip * chips_per_host
+    table = []
+
+    def point(workers, mode, repeats=3):
+        # the sandbox host is a noisy shared core (sequential rate varies
+        # ~3x run to run) — report the median of interleaved repeats
+        rates = sorted(
+            measure_host_only(ds, batch_size,
+                              workers if mode != "sequential" else 0,
+                              worker_mode=mode if mode != "sequential" else "thread")
+            for _ in range(repeats)
+        )
+        med = rates[len(rates) // 2]
+        table.append({"workers": workers, "mode": mode,
+                      "pairs_per_s": round(med, 1),
+                      "min": round(rates[0], 1), "max": round(rates[-1], 1)})
+        print(f"# assembly {mode} x{workers}: {med:.1f} pairs/s "
+              f"[{rates[0]:.0f}..{rates[-1]:.0f}]", file=sys.stderr)
+        return med
+
+    seq_rate = point(0, "sequential")
+    for mode in ("thread", "process"):
+        for w in (1, 2, 4, 8):
+            point(w, mode)
+    best = max(t["pairs_per_s"] for t in table)
+    n_cores = os.cpu_count() or 1
+    proc_overhead = max(
+        t["pairs_per_s"] for t in table if t["mode"] == "process"
+    ) / seq_rate
+    return {
+        "assembly_vs_workers": table,
+        "host_cores_visible": n_cores,
+        "demand_per_chip_pairs_per_s": demand_per_chip,
+        "chips_per_host": chips_per_host,
+        "demand_per_host_pairs_per_s": round(demand, 1),
+        "best_measured_pairs_per_s": best,
+        "per_core_sequential_pairs_per_s": round(seq_rate, 1),
+        "process_mode_efficiency_1core": round(proc_overhead, 3),
+        # linear-in-cores model for the fork+shared-memory path (workers
+        # share nothing but the COW dataset pages and the shm batch buffer):
+        "cores_needed_for_8chip_demand": int(np.ceil(demand / seq_rate)),
+        "meets_demand_at_cores": {
+            str(c): bool(c * seq_rate * proc_overhead >= demand)
+            for c in (2, 4, 8, 16)
+        },
+    }
 
 
 def measure_wire(batch_size):
@@ -225,6 +290,9 @@ def main():
                     "host loses to GIL thrash with >0, measured)")
     ap.add_argument("--json", default=None, help="write result JSON here")
     ap.add_argument("--host-only", action="store_true")
+    ap.add_argument("--assembly-sweep", action="store_true",
+                    help="workers x mode assembly table vs the v5e-8 "
+                    "per-host demand line (no device needed)")
     ap.add_argument("--zero-features", action="store_true",
                     help="compressible-payload control run (see build_dataset)")
     args = ap.parse_args()
@@ -234,6 +302,14 @@ def main():
     enable_persistent_cache()
 
     ds = build_dataset(args.steps * args.batch, zero_features=args.zero_features)
+    if args.assembly_sweep:
+        out = assembly_sweep(ds, args.batch)
+        out["batch"] = args.batch
+        print(json.dumps(out))
+        if args.json:
+            with open(args.json, "w") as f:
+                json.dump(out, f, indent=1)
+        return
     host_rate = measure_host_only(ds, args.batch, args.workers)
     print(f"# host-only assembly: {host_rate:.1f} pairs/s", file=sys.stderr)
     out = {

@@ -410,3 +410,67 @@ def test_flickr_head_upperbound_reflects_unreachable(rng):
     np.testing.assert_allclose(ub, 0.5, atol=1e-6)  # mean(1, 0.5, 0)
     assert float(out["accuracy"]) <= ub + 1e-6
     assert int(out["entity_num"]) == B * E
+
+
+def test_uint8_wire_matches_host_normalized_detector():
+    """The raw-image wire optimization: shipping uint8 + (h, w) and letting
+    SimpleDetector normalize in-graph and re-zero the pad must match the
+    host-normalized fp32 path through the whole detector (same math, same
+    zero padding — box_utils.py:56-63 semantics)."""
+    import jax
+    import jax.numpy as jnp
+
+    from visualbert_tpu.models.detector import SimpleDetector
+    from visualbert_tpu.utils.images import normalize_image
+
+    r = np.random.RandomState(0)
+    h, w, T = 48, 64, 64  # content 48x64 inside a 64x64 canvas
+    content = r.randint(0, 256, (h, w, 3), np.uint8)
+
+    u8 = np.zeros((T, T, 3), np.uint8)
+    u8[:h, :w] = content
+    f32 = np.zeros((T, T, 3), np.float32)
+    f32[:h, :w] = normalize_image(content)
+
+    boxes = np.asarray([[[2.0, 2.0, 60.0, 40.0], [5.0, 8.0, 30.0, 30.0]]],
+                       np.float32)
+    mask = np.ones((1, 2), np.int32)
+    hw = np.asarray([[h, w]], np.int32)
+
+    det = SimpleDetector(dtype=jnp.float32, trunk_blocks=(1, 1, 1),
+                         layer4_blocks=1, width_div=8)
+    v = det.init(jax.random.PRNGKey(0), jnp.asarray(f32)[None], boxes, mask)
+    out_f = det.apply(v, jnp.asarray(f32)[None], boxes, mask)
+    out_u = det.apply(v, jnp.asarray(u8)[None], boxes, mask,
+                      image_hw=jnp.asarray(hw))
+    np.testing.assert_allclose(
+        np.asarray(out_u["obj_reps"]), np.asarray(out_f["obj_reps"]),
+        rtol=1e-4, atol=1e-5,
+    )
+
+
+def test_prepare_image_uint8_and_draft(tmp_path, rng):
+    """normalize=False keeps uint8 (the wire dtype); draft decode of a >=2x
+    downscale stays close to the full-resolution decode+resize."""
+    pytest.importorskip("PIL")
+    from PIL import Image
+
+    from visualbert_tpu.utils.images import prepare_image
+
+    big = (rng.rand(600, 800, 3) * 255).astype(np.uint8)
+    Image.fromarray(big).save(tmp_path / "big.jpg", quality=95)
+
+    u8 = prepare_image(str(tmp_path / "big.jpg"), target=64, normalize=False)
+    assert u8["image"].dtype == np.uint8 and u8["image"].shape == (64, 64, 3)
+    assert int(u8["height"]) == 48 and int(u8["width"]) == 64
+    # square padding is zero and content is not
+    assert u8["image"][48:].sum() == 0 and u8["image"][:48].mean() > 10
+    # scale maps ORIGINAL pixel coords (64/800), regardless of draft decode
+    np.testing.assert_allclose(float(u8["scale"]), 64 / 800)
+
+    full = prepare_image(str(tmp_path / "big.jpg"), target=64,
+                         normalize=False, draft=False)
+    assert full["image"].shape == u8["image"].shape
+    diff = np.abs(u8["image"].astype(np.float32) -
+                  full["image"].astype(np.float32))
+    assert diff.mean() < 6.0, diff.mean()  # DCT-scaled vs full decode

@@ -230,3 +230,66 @@ def test_real_data_config_requires_vocab_file():
         "train": {"train_batch_size": 2},
     })
     assert _tokenizer(cfg_syn) is not None
+
+
+class _ToyDataset:
+    """Deterministic per-(index, rng) samples for worker-equivalence tests."""
+
+    def __init__(self, n=25, feat=64):
+        self.n, self.feat = n, feat
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, args):
+        import ml_dtypes
+
+        i, rng = args
+        return {
+            "x": rng.normal(size=(self.feat,)).astype(np.float32),
+            # custom-dtype coverage: bf16 feature caches must survive the
+            # shared-memory schema round-trip
+            "f": rng.normal(size=(self.feat,)).astype(ml_dtypes.bfloat16),
+            "idx": np.int32(i),
+        }
+
+
+class _BrokenDataset(_ToyDataset):
+    def __getitem__(self, args):
+        i, rng = args
+        if i == 7:
+            raise ValueError("boom at 7")
+        return super().__getitem__(args)
+
+
+def test_process_workers_bit_identical():
+    """worker_mode='process' (forked shared-memory fill, the pod-host
+    assembly path) must yield batches bit-identical to the sequential
+    Batcher — sample RNG is (seed, epoch, index)-derived, never
+    worker-derived. Covers pad_final tails too."""
+    ds = _ToyDataset()
+    seq = Batcher(ds, 8, seed=3, drop_last=False, pad_final=True)
+    par = Batcher(ds, 8, seed=3, drop_last=False, pad_final=True,
+                  num_workers=3, worker_mode="process")
+    try:
+        # hold EVERY process-mode batch before comparing: arena slots must
+        # not be recycled (and overwritten) while a consumer still holds
+        # views — the refcount gate, not luck, guarantees it
+        held = list(par.epoch(1))
+        for a, b in zip(seq.epoch(1), held, strict=True):
+            assert set(a) == set(b)
+            for k in a:
+                np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+    finally:
+        par.close()
+
+
+def test_process_workers_propagate_errors():
+    par = Batcher(_BrokenDataset(), 8, seed=0, num_workers=2,
+                  worker_mode="process")
+    try:
+        with pytest.raises(RuntimeError, match="boom at 7"):
+            for _ in par.epoch(0):
+                pass
+    finally:
+        par.close()

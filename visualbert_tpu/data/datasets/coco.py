@@ -178,8 +178,10 @@ class CocoDetectorDataset(CocoCaptionsDataset):
         box_mask = np.zeros(N, np.int32)
         box_mask[:n] = 1
 
+        from visualbert_tpu.utils.images import image_wire_fields
+
         return {
-            "images": np.asarray(img["image"], np.float32),
+            **image_wire_fields(img),
             "boxes": pad_to(boxes, N, axis=0),
             "box_mask": box_mask,
             "classes": pad_to(classes, N, axis=0),

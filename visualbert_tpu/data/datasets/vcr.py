@@ -29,6 +29,7 @@ from visualbert_tpu.data.features import FeatureStore
 from visualbert_tpu.data.masking import truncate_seq_pair
 from visualbert_tpu.data.pipeline import pad_to
 from visualbert_tpu.data.tokenization import BertTokenizer
+from visualbert_tpu.utils.images import image_wire_fields
 
 # Det-tag → gender-neutral-name rendering (reference cycles this list by a
 # per-example person counter in first-mention order, vcr_data_utils.py:14-38;
@@ -181,7 +182,7 @@ class VCRDataset:
         box_mask[:n_boxes] = 1
 
         sample = {
-            "images": np.asarray(img["image"], np.float32),
+            **image_wire_fields(img),
             "boxes": boxes,
             "box_mask": box_mask,
             "classes": classes,
@@ -315,7 +316,7 @@ class VCRPretrainDataset(VCRDataset):
         box_mask = np.zeros(N, np.int32)
         box_mask[:n_boxes] = 1
         sample = {
-            "images": np.asarray(img["image"], np.float32),
+            **image_wire_fields(img),
             "boxes": boxes,
             "box_mask": box_mask,
             "classes": classes,

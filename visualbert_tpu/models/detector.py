@@ -167,14 +167,33 @@ class SimpleDetector(nn.Module):
     @nn.compact
     def __call__(
         self,
-        images: Array,                 # [B, H, W, 3]
+        images: Array,                 # [B, H, W, 3] fp32 normalized OR uint8
         boxes: Array,                  # [B, N, 4] (x1,y1,x2,y2) pixels
         box_mask: Array,               # [B, N] {0,1}
         classes: Optional[Array] = None,  # [B, N] int
         segms: Optional[Array] = None,    # [B, N, 14, 14] soft masks
         deterministic: bool = True,
+        image_hw: Optional[Array] = None,  # [B, 2] content (h, w) in canvas
     ):
         B, N = boxes.shape[:2]
+        if images.dtype == jnp.uint8:
+            # uint8 wire format (4× fewer host->device bytes than fp32):
+            # ImageNet normalization moves in-graph, and the square padding
+            # is re-zeroed from the content extent so the canvas matches the
+            # host-normalized layout (zeros outside content, exactly like
+            # the reference's post-normalize zero pad, box_utils.py:56-63)
+            from visualbert_tpu.utils.images import IMAGENET_MEAN, IMAGENET_STD
+
+            images = (
+                images.astype(jnp.float32) / 255.0 - jnp.asarray(IMAGENET_MEAN)
+            ) / jnp.asarray(IMAGENET_STD)
+            if image_hw is not None:
+                H, W = images.shape[1], images.shape[2]
+                in_h = jnp.arange(H)[None, :] < image_hw[:, :1]      # [B, H]
+                in_w = jnp.arange(W)[None, :] < image_hw[:, 1:2]     # [B, W]
+                images = images * (
+                    in_h[:, :, None] & in_w[:, None, :]
+                )[..., None].astype(images.dtype)
         fm = ResNet50Trunk(self.dtype, self.trunk_blocks, self.width_div,
                            name="backbone")(images)
         # enforce the in-image assumption roi_align's exactness bound relies

@@ -73,6 +73,7 @@ class VisualBertDetectorModel(nn.Module):
             batch.get("classes"),
             batch.get("segms"),
             deterministic=deterministic,
+            image_hw=batch.get("image_hw"),
         )
         obj_reps = det["obj_reps"]  # [B, N, final_dim]
         if not self.train_detector:
@@ -92,6 +93,7 @@ class VisualBertDetectorModel(nn.Module):
         sub_batch = dict(batch)
         sub_batch.pop("images"), sub_batch.pop("boxes"), sub_batch.pop("box_mask")
         sub_batch.pop("classes", None), sub_batch.pop("segms", None)
+        sub_batch.pop("image_hw", None)
         sub_batch["visual_embeddings"] = visual
         sub_batch["image_mask"] = image_mask
 
