@@ -143,3 +143,39 @@ def test_sequential_renamed_checkpoint(torch_trunk):
     assert len(f1) == len(f2) > 0
     for a, b in zip(f1, f2):
         np.testing.assert_array_equal(a, b)
+
+
+def test_s2d_stem_exact_equivalence():
+    """The space-to-depth stem (4x4-stride-1 conv over 2x2-s2d input, masked
+    phantom slots) must be EXACTLY the 7x7-stride-2 conv — same trunk output
+    for the same 7x7 weights mapped through stem_7x7_to_s2d."""
+    from visualbert_tpu.models.detector import (
+        ResNet50Trunk,
+        s2d_stem_mask,
+        stem_7x7_to_s2d,
+        stem_s2d_to_7x7,
+    )
+
+    rng = np.random.RandomState(0)
+    img = rng.randn(2, 64, 64, 3).astype(np.float32)
+
+    ref = ResNet50Trunk(dtype=jnp.float32, blocks=(1, 1, 1), width_div=4,
+                        s2d_stem=False)
+    v = ref.init(jax.random.PRNGKey(0), jnp.asarray(img))
+    out_ref = ref.apply(v, jnp.asarray(img))
+
+    s2d = ResNet50Trunk(dtype=jnp.float32, blocks=(1, 1, 1), width_div=4,
+                        s2d_stem=True)
+    params = jax.tree.map(lambda x: x, v["params"])
+    w7 = np.asarray(params["conv1"]["kernel"])
+    params["conv1"] = {"kernel": jnp.asarray(stem_7x7_to_s2d(w7))}
+    out_s2d = s2d.apply({"params": params}, jnp.asarray(img))
+    np.testing.assert_allclose(np.asarray(out_s2d), np.asarray(out_ref),
+                               rtol=1e-5, atol=1e-5)
+
+    # kernel mapping round-trips losslessly (the export direction), and the
+    # forward mask spans exactly the mapped slots
+    np.testing.assert_array_equal(stem_s2d_to_7x7(stem_7x7_to_s2d(w7)), w7)
+    m = s2d_stem_mask(3, w7.shape[-1])
+    assert m.sum() == 7 * 7 * 3 * w7.shape[-1]
+    assert (stem_7x7_to_s2d(np.ones_like(w7)) == m).all()

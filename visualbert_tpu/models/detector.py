@@ -107,25 +107,130 @@ class ResNetStage(nn.Module):
         return x
 
 
+def space_to_depth(x: Array) -> Array:
+    """[B, H, W, C] → [B, H/2, W/2, 4C]; channel index = (p·2 + q)·C + c for
+    source pixel (2u+p, 2v+q)."""
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // 2, 2, W // 2, 2, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(B, H // 2, W // 2, 4 * C)
+
+
+def _s2d_tap(du: int, p: int) -> int:
+    """7-tap index k covered by s2d kernel row ``du`` at phase ``p``:
+    x[2o + k - 3] = X[o + (du - 2), p] ⇒ k = 2·du + p − 1 (−1 = outside)."""
+    k = 2 * du + p - 1
+    return k if 0 <= k <= 6 else -1
+
+
+def s2d_stem_mask(cin: int, cout: int) -> "np.ndarray":
+    """{0,1} mask over the [4, 4, 4·cin, cout] s2d stem kernel: 1 exactly on
+    slots that correspond to a real 7×7 tap. Masking in the forward pass
+    keeps the phantom slots (and their GRADIENTS) at zero, so training in
+    the s2d parameterization stays exactly the 147-dof 7×7 problem and the
+    export back to torch layout is always lossless."""
+    import numpy as np
+
+    m = np.zeros((4, 4, 4 * cin, cout), np.float32)
+    for du in range(4):
+        for p in range(2):
+            if _s2d_tap(du, p) < 0:
+                continue
+            for dv in range(4):
+                for q in range(2):
+                    if _s2d_tap(dv, q) < 0:
+                        continue
+                    ch = (p * 2 + q) * cin
+                    m[du, dv, ch : ch + cin] = 1.0
+    return m
+
+
+def stem_7x7_to_s2d(w7: "np.ndarray") -> "np.ndarray":
+    """[7, 7, cin, O] → [4, 4, 4·cin, O] exact rearrangement (import
+    direction; unused slots zero). Inverse: :func:`stem_s2d_to_7x7`."""
+    import numpy as np
+
+    kh, kw, cin, out = w7.shape
+    assert (kh, kw) == (7, 7), w7.shape
+    w4 = np.zeros((4, 4, 4 * cin, out), w7.dtype)
+    for du in range(4):
+        for p in range(2):
+            k = _s2d_tap(du, p)
+            if k < 0:
+                continue
+            for dv in range(4):
+                for q in range(2):
+                    l = _s2d_tap(dv, q)
+                    if l < 0:
+                        continue
+                    ch = (p * 2 + q) * cin
+                    w4[du, dv, ch : ch + cin] = w7[k, l]
+    return w4
+
+
+def stem_s2d_to_7x7(w4: "np.ndarray") -> "np.ndarray":
+    """[4, 4, 4·cin, O] → [7, 7, cin, O] (export direction)."""
+    import numpy as np
+
+    _, _, cin4, out = w4.shape
+    cin = cin4 // 4
+    w7 = np.zeros((7, 7, cin, out), w4.dtype)
+    for du in range(4):
+        for p in range(2):
+            k = _s2d_tap(du, p)
+            if k < 0:
+                continue
+            for dv in range(4):
+                for q in range(2):
+                    l = _s2d_tap(dv, q)
+                    if l < 0:
+                        continue
+                    ch = (p * 2 + q) * cin
+                    w7[k, l] = w4[du, dv, ch : ch + cin]
+    return w7
+
+
 class ResNet50Trunk(nn.Module):
     """conv1 .. layer3 (output stride 16, 1024ch).
 
     ``blocks`` sets the bottleneck count per stage — (3, 4, 6) is resnet50
     (the reference's only backbone, detector.py:31); other depths (e.g.
     resnet101's (3, 4, 23), or (1, 1, 1) for fast tests) reuse the same
-    parameter layout per block."""
+    parameter layout per block.
+
+    ``s2d_stem`` (default on) replaces the 7×7-stride-2 stem conv with the
+    exact space-to-depth equivalent: a 4×4-stride-1 conv over the 2×2-s2d
+    input. Same math (masked phantom slots keep it a 147-dof problem; see
+    ``s2d_stem_mask``), but MXU-shaped: 12 input channels instead of 3 (¼
+    the lane padding waste) and a stride-1 schedule. The torch import/export
+    converters rearrange the kernel losslessly in both directions."""
 
     dtype: Any = jnp.bfloat16
     blocks: tuple = (3, 4, 6)
     # channel divisor for tests: 1 = exact resnet50 widths (64/128/256 →
     # 1024ch out); >1 scales every stage down (same layout, 1/div² FLOPs)
     width_div: int = 1
+    s2d_stem: bool = True
 
     @nn.compact
     def __call__(self, images: Array) -> Array:  # [B, H, W, 3] → [B, H/16, W/16, 1024/div]
         d = self.width_div
-        x = nn.Conv(64 // d, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
-                    use_bias=False, dtype=self.dtype, name="conv1")(images.astype(self.dtype))
+        if self.s2d_stem:
+            B, H, W, C = images.shape
+            assert H % 2 == 0 and W % 2 == 0, (
+                f"s2d stem needs even image dims, got {images.shape}; pad the "
+                "canvas or set s2d_stem=False"
+            )
+            # u-domain pad (2, 1) ≡ the 7×7 conv's symmetric pad 3 (the extra
+            # left column is a masked phantom tap)
+            x = nn.Conv(
+                64 // d, (4, 4), strides=(1, 1), padding=[(2, 1), (2, 1)],
+                use_bias=False, dtype=self.dtype,
+                mask=s2d_stem_mask(C, 64 // d), name="conv1",
+            )(space_to_depth(images.astype(self.dtype)))
+        else:
+            x = nn.Conv(64 // d, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+                        use_bias=False, dtype=self.dtype, name="conv1")(images.astype(self.dtype))
         x = FrozenBatchNorm(64 // d, self.dtype, name="bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])

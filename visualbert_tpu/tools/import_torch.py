@@ -395,7 +395,9 @@ _DETECTOR_SEQ_ALIASES = [
 ]
 
 
-def convert_resnet50_state_dict(flat: Dict[str, np.ndarray], dtype=np.float32) -> Dict:
+def convert_resnet50_state_dict(
+    flat: Dict[str, np.ndarray], dtype=np.float32, s2d_stem: bool = True
+) -> Dict:
     """Convert a torchvision-format ResNet50 state dict (or a reference
     ``SimpleDetector`` checkpoint wrapping one) into the Flax
     ``models/detector.py`` param tree.
@@ -408,7 +410,10 @@ def convert_resnet50_state_dict(flat: Dict[str, np.ndarray], dtype=np.float32) -
 
     Layout: torch conv [O, I, kh, kw] → flax [kh, kw, I, O]; BN
     weight/bias/running_mean/running_var → scale/bias/mean/var; linear
-    weight [O, I] → kernel [I, O].
+    weight [O, I] → kernel [I, O]. ``s2d_stem`` (default, matching
+    ``ResNet50Trunk``) rearranges the 7×7 stem kernel into the exact
+    space-to-depth 4×4 layout (``models/detector.py::stem_7x7_to_s2d``,
+    lossless both directions).
     """
     renamed = {}
     for k, v in flat.items():
@@ -447,6 +452,12 @@ def convert_resnet50_state_dict(flat: Dict[str, np.ndarray], dtype=np.float32) -
     # for a bare ResNet50Trunk — emit the canonical SimpleDetector layout;
     # callers peel subtrees as needed)
     conv("conv1", ("backbone", "conv1"))
+    if s2d_stem and "conv1" in out.get("backbone", {}):
+        from visualbert_tpu.models.detector import stem_7x7_to_s2d
+
+        k = out["backbone"]["conv1"]["kernel"]
+        if k.shape[:2] == (7, 7):
+            out["backbone"]["conv1"]["kernel"] = stem_7x7_to_s2d(k)
     bn("bn1", ("backbone", "bn1"))
     for stage in ("layer1", "layer2", "layer3", "layer4"):
         root = ("after_roi_align", "layer4") if stage == "layer4" else ("backbone", stage)
