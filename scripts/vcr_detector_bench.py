@@ -1,10 +1,11 @@
 """VCR detector-path train-step throughput on one TPU chip: full ResNet50
 trunk + RoIAlign + bert-base over 4 answer choices at 512x512 images (the
 reference's configs/vcr/fine-tune-qa.json pipeline, detector in the graph).
-Measured: 153.0 examples/s/chip on v5e (2026-08-19, matmul-formulation
-RoIAlign — was 64.8 at the gather formulation with the shape-derived tap
-cap, 43 at the blanket 8-tap gather lattice; compile 90-460 s over the
-remote tunnel). Usage: python scripts/vcr_detector_bench.py"""
+Measured: 158.9 examples/s/chip on v5e (2026-08-19, space-to-depth stem +
+matmul-formulation RoIAlign — was 153.0 with the 7x7 stem, 64.8 at the
+gather formulation with the shape-derived tap cap, 43 at the blanket 8-tap
+gather lattice; compile 90-460 s over the remote tunnel).
+Usage: python scripts/vcr_detector_bench.py"""
 import sys, time
 sys.path.insert(0, ".")
 import numpy as np
