@@ -42,14 +42,18 @@ def _shm_open(name: str):
     try:  # Python >= 3.13
         return shared_memory.SharedMemory(name=name, track=False)
     except TypeError:
+        # pre-3.13: suppress registration during attach. The forked workers
+        # SHARE the parent's tracker process, and its cache is a name-keyed
+        # set — an unregister here would erase the parent's own registration
+        # and make the parent's later unlink() log a KeyError in the tracker.
         from multiprocessing import resource_tracker
 
-        shm = shared_memory.SharedMemory(name=name)
+        orig = resource_tracker.register
+        resource_tracker.register = lambda *a, **k: None
         try:
-            resource_tracker.unregister(shm._name, "shared_memory")
-        except Exception:
-            pass
-        return shm
+            return shared_memory.SharedMemory(name=name)
+        finally:
+            resource_tracker.register = orig
 
 
 def _proc_worker_main(dataset, seed, task_q, done_q):
@@ -162,6 +166,7 @@ class Batcher:
         self._procs = None
         self._free_slots: Dict[int, list] = {}
         self._all_slots: list = []
+        self._closed = False
 
     def _get_pool(self):
         if self._pool is None and self.num_workers > 0 and self.worker_mode == "thread":
@@ -194,7 +199,10 @@ class Batcher:
 
     def close(self):
         """Stop worker processes/threads (daemonized either way, so this is
-        courtesy, not correctness)."""
+        courtesy, not correctness). Terminal: a prefetch thread still pulling
+        from a live ``epoch`` generator after close would otherwise allocate
+        fresh arena slots that nothing ever unlinks."""
+        self._closed = True
         if self._procs is not None:
             for _ in self._procs:
                 self._task_q.put(None)
@@ -220,6 +228,8 @@ class Batcher:
         batch can never see it overwritten."""
         from multiprocessing import shared_memory
 
+        if self._closed:
+            raise RuntimeError("Batcher is closed")
         free = self._free_slots.setdefault(nbytes, [])
         if free:
             return free.pop()
