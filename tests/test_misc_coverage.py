@@ -293,3 +293,41 @@ def test_process_workers_propagate_errors():
                 pass
     finally:
         par.close()
+
+
+def test_ffn_save_dact_bit_equal_grads():
+    """ffn_save_dact (save post-act + analytic gelu' instead of the
+    pre-activation; BASELINE.md round-5 lever table) must be a pure
+    scheduling change: loss AND every gradient bit-equal to the default
+    recompute path — both evaluate gelu' via _gelu_erf_fast_both in fp32
+    and round once."""
+    import jax
+    import jax.numpy as jnp
+
+    from visualbert_tpu.config import VisualBertConfig
+    from visualbert_tpu.models.encoder import TransformerLayer
+
+    def run(save_dact):
+        cfg = VisualBertConfig(
+            vocab_size=64, hidden_size=32, num_hidden_layers=1,
+            num_attention_heads=2, intermediate_size=64,
+            max_position_embeddings=16, visual_embedding_dim=8,
+            dtype="bfloat16", hidden_act="gelu",
+            hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+            ffn_save_dact=save_dact,
+        )
+        layer = TransformerLayer(cfg)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 32), jnp.bfloat16)
+        bias = jnp.zeros((2, 1, 1, 8), jnp.bfloat16)
+        v = layer.init(jax.random.PRNGKey(1), x, bias, True)
+
+        def loss(p, xx):
+            out, _ = layer.apply({"params": p}, xx, bias, True)
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+
+        return jax.value_and_grad(loss, argnums=(0, 1))(v["params"], x)
+
+    (l0, g0), (l1, g1) = run(False), run(True)
+    assert float(l0) == float(l1)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1), strict=True):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -69,6 +69,14 @@ class VisualBertConfig:
     # Save only the FFN pre-activation for backward; recompute gelu there.
     # Halves the FFN intermediate's HBM writes (numerics unchanged).
     ffn_recompute_act: bool = True
+    # FFN-backward variant: save the POST-activation and the analytic
+    # gelu'(x) (computed nearly free in forward — it shares the A&S erf
+    # chain's exp(-x²/2)) instead of the pre-activation, so the backward's
+    # dpreact is a pure multiply with no erf-chain recompute. Trades one
+    # extra [N, intermediate] bf16 HBM round-trip for the recompute VPU
+    # tail; only meaningful with ffn_recompute_act and the fast-erf gelu.
+    # Measured on v5e (BASELINE.md round-5 lever table) — keep default off.
+    ffn_save_dact: bool = False
     # Flash-attention backward strategy: save the pre-dropout probability
     # tensor in fwd (bf16, ~2·H·T² bytes/row HBM) instead of recomputing
     # QKᵀ+softmax in bwd. Trades HBM for VPU exp time; off by default.

@@ -90,6 +90,30 @@ def _gelu_erf_fast_jvp(primals, tangents):
     return val, (grad * dx.astype(jnp.float32)).astype(x.dtype)
 
 
+@jax.custom_vjp
+def _gelu_erf_fast_saved(x):
+    """Same forward as :func:`_gelu_erf_fast`, but the VJP residual is the
+    ANALYTIC gelu'(x) computed in forward (named ``ffn_dact`` for the remat
+    policy), so under ``ffn_save_dact`` the backward is one multiply with no
+    erf-chain recompute. Identical numerics to the recompute path: both
+    evaluate grad via `_gelu_erf_fast_both` in fp32 and round once."""
+    return _gelu_erf_fast_both(x)[0]
+
+
+def _gelu_erf_fast_saved_fwd(x):
+    from jax.ad_checkpoint import checkpoint_name
+
+    val, grad = _gelu_erf_fast_both(x)
+    return val, checkpoint_name(grad.astype(x.dtype), "ffn_dact")
+
+
+def _gelu_erf_fast_saved_bwd(dact, g):
+    return ((dact.astype(jnp.float32) * g.astype(jnp.float32)).astype(g.dtype),)
+
+
+_gelu_erf_fast_saved.defvjp(_gelu_erf_fast_saved_fwd, _gelu_erf_fast_saved_bwd)
+
+
 def activation(name: str, dtype=None):
     """Reference ACT2FN (modeling.py:56-69): exact-erf gelu, relu, swish;
     plus tanh-approx gelu as a TPU-speed option. Under bf16 compute,
@@ -330,6 +354,15 @@ class ResidualNorm(nn.Module):
         return reference_add_layer_norm(x, res, scale, bias, cfg.layer_norm_eps)
 
 
+def _ffn_save_dact_active(cfg: VisualBertConfig) -> bool:
+    """ffn_save_dact applies only where the fast-erf gelu would run (its
+    saved-dact twin shares the same forward/derivative math bit-for-bit)."""
+    return bool(cfg.ffn_save_dact) and (
+        cfg.hidden_act == "gelu_erf_fast"
+        or (cfg.hidden_act == "gelu" and cfg.dtype == jnp.bfloat16)
+    )
+
+
 def _ffn_body(mdl: "TransformerLayer", hidden: Array) -> Array:
     """FFN sublayer (reference modeling.py:295-319). Split out so it can be
     wrapped in nn.remat with a save-only-preactivation policy: without it XLA
@@ -351,9 +384,15 @@ def _ffn_body(mdl: "TransformerLayer", hidden: Array) -> Array:
     )(hidden)
     from jax.ad_checkpoint import checkpoint_name
 
-    h = checkpoint_name(h, "ffn_preact")
-    # default: exact (erf) gelu — reference modeling.py:56-61
-    h = activation(cfg.hidden_act, cfg.dtype)(h)
+    if _ffn_save_dact_active(cfg):
+        # ffn_save_dact: save post-act + analytic gelu' (named inside the
+        # custom VJP) — the backward never touches the pre-activation, so
+        # it isn't saved and the erf chain isn't replayed.
+        h = checkpoint_name(_gelu_erf_fast_saved(h), "ffn_act")
+    else:
+        h = checkpoint_name(h, "ffn_preact")
+        # default: exact (erf) gelu — reference modeling.py:56-61
+        h = activation(cfg.hidden_act, cfg.dtype)(h)
     return nn.Dense(
         cfg.hidden_size,
         dtype=cfg.dtype,
@@ -389,9 +428,11 @@ class TransformerLayer(nn.Module):
         )
 
         if cfg.ffn_recompute_act and not cfg.remat:
+            saved = (("ffn_act", "ffn_dact") if _ffn_save_dact_active(cfg)
+                     else ("ffn_preact",))
             ffn_fn = nn.remat(
                 _ffn_body,
-                policy=jax.checkpoint_policies.save_only_these_names("ffn_preact"),
+                policy=jax.checkpoint_policies.save_only_these_names(*saved),
                 prevent_cse=False,
             )
         else:  # whole-layer remat already recomputes everything
