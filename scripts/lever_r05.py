@@ -28,19 +28,28 @@ def main():
     args = ap.parse_args()
 
     rows = []
+    # the BENCH headline config (bench.py main primary tuple): unrolled
+    # layers, fused xent + fast dropout, erf gelu via the fast-erf path
+    HEAD = dict(scan_layers=False, fused_mlm_xent=True, fast_dropout=True)
 
     def point(label, batch=96, **over):
-        rate = bench.measure(batch, **over)
-        per_pair = rate if batch == 96 else rate  # pairs/s/chip already
+        try:
+            rate = bench.measure(batch, **{**HEAD, **over})
+        except Exception as e:
+            msg = str(e).splitlines()[0][:140]
+            rows.append({"lever": label, "batch": batch, "error": msg})
+            print(f"# {label}: ERROR {msg}", file=sys.stderr)
+            return None
         rows.append({"lever": label, "batch": batch,
                      "pairs_per_s": round(rate, 1)})
         print(f"# {label}: {rate:.1f} pairs/s", file=sys.stderr)
         return rate
 
-    base = point("baseline_b96")
+    point("baseline_b96")
     point("ffn_save_dact", ffn_save_dact=True)
     point("batch_192", batch=192)
-    point("batch_256", batch=256)
+    point("batch_192_remat", batch=192, remat=True)
+    point("baseline_b96_again")  # same-session variance anchor
 
     out = {"levers": rows, "baseline_pairs_per_s": rows[0]["pairs_per_s"]}
     print(json.dumps(out))
