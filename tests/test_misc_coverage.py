@@ -331,3 +331,17 @@ def test_ffn_save_dact_bit_equal_grads():
     assert float(l0) == float(l1)
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1), strict=True):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_batcher_close_is_terminal():
+    """close() unlinks the shm arena, so a straggling producer (e.g. a
+    prefetch thread still pulling from a live epoch generator) must get a
+    loud error instead of silently allocating slots nothing will unlink."""
+    ds = _ToyDataset()
+    par = Batcher(ds, 8, seed=0, num_workers=2, worker_mode="process")
+    it = par.epoch(0)
+    next(it)
+    par.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        for _ in it:
+            pass
