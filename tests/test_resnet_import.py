@@ -179,3 +179,22 @@ def test_s2d_stem_exact_equivalence():
     m = s2d_stem_mask(3, w7.shape[-1])
     assert m.sum() == 7 * 7 * 3 * w7.shape[-1]
     assert (stem_7x7_to_s2d(np.ones_like(w7)) == m).all()
+
+
+def test_resnet_export_round_trip(torch_trunk):
+    """convert_resnet50_state_dict → export_resnet50_state_dict reproduces
+    the torchvision-format dict exactly, INCLUDING the 7×7 stem recovered
+    from the s2d layout (the lossless-export claim, both directions)."""
+    from visualbert_tpu.tools.export_torch import export_resnet50_state_dict
+    from visualbert_tpu.tools.import_torch import convert_resnet50_state_dict
+
+    flat = {k: v.numpy() for k, v in torch_trunk.state_dict().items()
+            if "num_batches_tracked" not in k}
+    tree = convert_resnet50_state_dict(flat)  # s2d stem by default
+    assert tree["backbone"]["conv1"]["kernel"].shape[:2] == (4, 4)
+    back = export_resnet50_state_dict(tree)
+    missing = set(flat) - set(back)
+    assert not missing, sorted(missing)[:5]
+    for k, v in flat.items():
+        np.testing.assert_array_equal(back[k], np.asarray(v, np.float32),
+                                      err_msg=k)

@@ -95,6 +95,62 @@ def _slice_tree(tree, i):
     return jax.tree.map(lambda x: np.asarray(getattr(x, "value", x))[i], tree)
 
 
+def export_resnet50_state_dict(tree: Dict) -> Dict[str, np.ndarray]:
+    """Inverse of ``import_torch.convert_resnet50_state_dict``: the Flax
+    ``SimpleDetector``/``ResNet50Trunk`` param tree → torchvision-format flat
+    state dict. The space-to-depth stem kernel ([4, 4, 4·cin, O]) maps back
+    to the 7×7 layout losslessly (``models/detector.py::stem_s2d_to_7x7``);
+    flax conv [kh, kw, I, O] → torch [O, I, kh, kw]; FrozenBatchNorm
+    scale/bias/mean/var → weight/bias/running_mean/running_var."""
+    out: Dict[str, np.ndarray] = {}
+
+    def conv(src, prefix):
+        k = _unbox(src["kernel"])
+        out[prefix + ".weight"] = np.transpose(k, (3, 2, 0, 1))
+        if "bias" in src:
+            out[prefix + ".bias"] = _unbox(src["bias"])
+
+    def bn(src, prefix):
+        out[prefix + ".weight"] = _unbox(src["scale"])
+        out[prefix + ".bias"] = _unbox(src["bias"])
+        out[prefix + ".running_mean"] = _unbox(src["mean"])
+        out[prefix + ".running_var"] = _unbox(src["var"])
+
+    bb = tree.get("backbone", tree)
+    if "conv1" in bb:
+        k = _unbox(bb["conv1"]["kernel"])
+        if k.shape[:2] == (4, 4):  # s2d stem → exact 7×7 export
+            from visualbert_tpu.models.detector import stem_s2d_to_7x7
+
+            k = stem_s2d_to_7x7(k)
+        out["conv1.weight"] = np.transpose(k, (3, 2, 0, 1))
+        bn(bb["bn1"], "bn1")
+    for stage in ("layer1", "layer2", "layer3", "layer4"):
+        root = (tree.get("after_roi_align", {}).get("layer4", {})
+                if stage == "layer4" else bb.get(stage, {}))
+        for name, blk in sorted(root.items()):
+            if not name.startswith("block"):
+                continue
+            i = int(name[5:])
+            pref = f"{stage}.{i}"
+            for c in ("conv1", "conv2", "conv3"):
+                conv(blk[c], f"{pref}.{c}")
+            for b in ("bn1", "bn2", "bn3"):
+                bn(blk[b], f"{pref}.{b}")
+            if "downsample_conv" in blk:
+                conv(blk["downsample_conv"], f"{pref}.downsample.0")
+                bn(blk["downsample_bn"], f"{pref}.downsample.1")
+    if "mask_upsample" in tree:
+        conv(tree["mask_upsample"], "mask_upsample")
+    if "object_embed" in tree:
+        out["object_embed.weight"] = _unbox(tree["object_embed"]["embedding"])
+    for name in ("regularizing_predictor", "obj_downsample"):
+        if name in tree:
+            out[name + ".weight"] = _unbox(tree[name]["kernel"]).T
+            out[name + ".bias"] = _unbox(tree[name]["bias"])
+    return out
+
+
 def save_torch_file(params: Dict, cfg: VisualBertConfig, path: str, prefix: str = "bert."):
     import torch
 
