@@ -14,9 +14,10 @@ fusions (f32[] sumsq epilogue + bf16 dW) at ~17.5 ms/step — these are the
 weight-gradient convolutions themselves, individually at/near the matmul
 roofline (3x3x512x512 dW over the 160 box crops: 0.20 ms/step vs 0.21
 pure-FLOPs). Only outlier: the 7x7x3 stem's dW (0.77 ms/step, ~13x floor —
-3 input channels pad to 128 lanes). A space-to-depth stem would reclaim
-~2 ms/step (~4%) but changes the conv weight shape, breaking torch
-import/export parity — deliberately not taken.
+3 input channels pad to 128 lanes). Round 5 SHIPPED the space-to-depth
+stem fix (models/detector.py s2d_stem, exact masked 4x4 conv with a
+lossless 7x7<->s2d torch import/export mapping): 153.0 -> 158.9 ex/s
+(+3.9%), matching this profile's ~4% prediction.
 
 Usage: python scripts/vcr_detector_profile.py [logdir]
 """
